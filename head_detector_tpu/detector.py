@@ -1,0 +1,207 @@
+"""HeadDetector: end-to-end single-image inference API.
+
+Functional spec: reference ``head_detector/detector.py:18-102``.  Same public
+surface — ``HeadDetector(model="vgg_heads_l")(image, confidence_threshold)``
+returns a ``PredictionResult`` — but the whole compute path is two XLA
+programs:
+
+* **stage A** (per-input-shape, tiny): fused letterbox — uint8 HWC image ->
+  resize(lanczos) + pad(127) + /255 -> [1, S, S, 3] float.
+* **stage B** (compiled once): backbone -> neck -> DFL decode -> fixed-shape
+  NMS -> FLAME LBS on the kept detections -> un-letterbox -> RPY.  Padding /
+  scale / confidence enter as traced scalars so arbitrary input sizes reuse
+  one compilation of the heavy program.
+
+Host<->device traffic per call: one uint8 image upload, one fixed-size
+results download.  Contrast with the reference call stack
+(``detector.py:97-102``): cv2 host preprocessing, a TorchScript graph, a
+native-op NMS, per-head host scipy RPY.
+
+Weights: the reference downloads TorchScript weights from the HF hub
+(``detector.py:25-30``).  This build has no network egress, so weights load
+from a local flax msgpack checkpoint (``checkpoint=`` argument or the
+``HDT_CHECKPOINT`` env var); otherwise the model runs with deterministic
+random initialisation (seed 0) — every code path is identical, only the
+numbers change when a trained checkpoint is supplied.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from head_detector_tpu.detection_result import PredictionResult
+from head_detector_tpu.flame import FlameModel, reproject_spatial_vertices
+from head_detector_tpu.head_info import Bbox, FlameParams, HeadMetadata, RPY
+from head_detector_tpu.models import build_model, init_model
+from head_detector_tpu.ops.letterbox import letterbox
+from head_detector_tpu.ops.nms import batched_nms
+from head_detector_tpu.ops.rotation import rot_mat_from_6dof, rotation_mats_to_rpy
+
+
+def load_variables(path: str) -> Dict[str, Any]:
+    """Load a flax-msgpack checkpoint written by ``save_variables``."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def save_variables(variables: Dict[str, Any], path: str) -> None:
+    from flax import serialization
+
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(variables))
+
+
+class HeadDetector:
+    """Detect human heads + FLAME meshes in one forward pass on TPU."""
+
+    def __init__(
+        self,
+        model: str = "vgg_heads_l",
+        image_size: int = 640,
+        checkpoint: Optional[str] = None,
+        dtype: Any = jnp.float32,
+        pre_nms_max: int = 1000,
+        post_nms_max: int = 100,
+        iou_threshold: float = 0.5,
+    ):
+        self._image_size = image_size
+        self._pre_nms_max = pre_nms_max
+        self._post_nms_max = post_nms_max
+        self._iou_threshold = iou_threshold
+        self._flame = FlameModel.from_assets(dtype=jnp.float32)
+        self._model = build_model(model, dtype=dtype)
+
+        checkpoint = checkpoint or os.environ.get("HDT_CHECKPOINT")
+        if checkpoint:
+            self._variables = load_variables(checkpoint)
+        else:
+            self._variables = init_model(
+                self._model, jax.random.PRNGKey(0), (image_size, image_size)
+            )
+        self._detect = jax.jit(self._detect_fn)
+
+    # ------------------------------------------------------------------ #
+    def _detect_fn(
+        self,
+        image: jnp.ndarray,  # [1, S, S, 3] float
+        confidence_threshold: jnp.ndarray,  # scalar
+        pad: jnp.ndarray,  # [2] (left, top)
+        scale: jnp.ndarray,  # scalar
+    ):
+        decoded, _ = self._model.apply(self._variables, image, train=False)
+        res = batched_nms(
+            decoded.boxes_xyxy,
+            decoded.scores,
+            decoded.flame_params,
+            confidence_threshold=confidence_threshold,
+            iou_threshold=self._iou_threshold,
+            pre_nms_max=self._pre_nms_max,
+            post_nms_max=self._post_nms_max,
+        )
+        boxes, scores, params, valid = (
+            res.boxes[0],
+            res.scores[0],
+            res.flame_params[0],
+            res.valid[0],
+        )
+
+        # FLAME decode on the fixed-size kept set (ref detector.py:66)
+        _, R, verts = reproject_spatial_vertices(self._flame, params, to_2d=False)
+
+        # un-letterbox (ref detector.py:67-74): verts xy -= pad, all /= scale;
+        # boxes clip to canvas, -= pad, /= scale.
+        verts = verts.at[:, :, 0].add(-pad[0])
+        verts = verts.at[:, :, 1].add(-pad[1])
+        verts = verts / scale
+
+        boxes = jnp.clip(boxes, 0, self._image_size)
+        boxes = boxes.at[:, jnp.array([0, 2])].add(-pad[0])
+        boxes = boxes.at[:, jnp.array([1, 3])].add(-pad[1])
+        boxes = boxes / scale
+
+        rpy = rotation_mats_to_rpy(R)
+        return boxes, scores, params, verts, rpy, valid
+
+    # ------------------------------------------------------------------ #
+    @staticmethod
+    def _convert_image(image: Union[str, Image.Image, np.ndarray]) -> np.ndarray:
+        if isinstance(image, str):
+            image = cv2.imread(image)
+            image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
+        elif isinstance(image, Image.Image):
+            image = np.array(image)
+        return image
+
+    def __call__(
+        self,
+        image: Union[str, Image.Image, np.ndarray],
+        confidence_threshold: float = 0.5,
+    ) -> PredictionResult:
+        original_image = self._convert_image(image)
+        img, (pad_l, pad_t), scale = letterbox(
+            jnp.asarray(original_image), self._image_size
+        )
+        boxes, scores, params, verts, rpy, valid = self._detect(
+            img,
+            jnp.float32(confidence_threshold),
+            jnp.asarray([pad_l, pad_t], jnp.float32),
+            jnp.float32(scale),
+        )
+        return PredictionResult(
+            original_image=original_image,
+            heads=self._build_heads(
+                np.asarray(boxes),
+                np.asarray(scores),
+                np.asarray(params),
+                np.asarray(verts),
+                np.asarray(rpy),
+                np.asarray(valid),
+                scale,
+            ),
+        )
+
+    def _build_heads(
+        self,
+        boxes: np.ndarray,
+        scores: np.ndarray,
+        params: np.ndarray,
+        verts: np.ndarray,
+        rpy: np.ndarray,
+        valid: np.ndarray,
+        scale: float,
+    ) -> List[HeadMetadata]:
+        heads: List[HeadMetadata] = []
+        boxes = np.rint(boxes).astype(int)
+        for i in np.flatnonzero(valid):
+            p = FlameParams.from_3dmm(params[i : i + 1])
+            # only `scale` is rescaled on the host; translation stays in
+            # letterbox space — exactly like ref detector.py:76-79
+            p.scale = p.scale / scale
+            box = boxes[i]
+            heads.append(
+                HeadMetadata(
+                    bbox=Bbox(
+                        x=box[0], y=box[1], w=box[2] - box[0], h=box[3] - box[1]
+                    ),
+                    score=float(scores[i]),
+                    flame_params=p,
+                    vertices_3d=verts[i],
+                    head_pose=RPY(
+                        roll=float(rpy[i, 0]),
+                        pitch=float(rpy[i, 1]),
+                        yaw=float(rpy[i, 2]),
+                    ),
+                )
+            )
+        return heads

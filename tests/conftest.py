@@ -23,6 +23,12 @@ if os.environ.get("HDT_TEST_TPU") != "1":
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# persistent compilation cache: repeat test runs skip recompiles
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/hdt_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,94 @@
+"""End-to-end HeadDetector API: image in -> PredictionResult out.
+
+Runs the real pipeline (letterbox -> model -> NMS -> FLAME -> un-letterbox)
+on the smallest variant with random weights and a low confidence threshold so
+detections exist; asserts the full public API surface of the reference
+(``head_detector/detector.py:97-102`` + ``detection_result.py:45-78``).
+"""
+
+import numpy as np
+import pytest
+
+from head_detector_tpu.detector import HeadDetector
+from head_detector_tpu.head_info import Bbox, FlameParams, RPY
+
+
+@pytest.fixture(scope="module")
+def detector():
+    return HeadDetector(model="yolo_heads_n", image_size=64)
+
+
+@pytest.fixture(scope="module")
+def result(detector):
+    rng = np.random.RandomState(0)
+    image = rng.randint(0, 255, (80, 100, 3), dtype=np.uint8)
+    return detector(image, confidence_threshold=1e-6)
+
+
+def test_returns_heads(result):
+    assert len(result.heads) > 0
+    head = result.heads[0]
+    assert isinstance(head.bbox, Bbox)
+    assert isinstance(head.head_pose, RPY)
+    assert isinstance(head.flame_params, FlameParams)
+    assert head.vertices_3d.shape == (5023, 3)
+    assert 0.0 < head.score <= 1.0
+    assert np.isfinite(head.vertices_3d).all()
+
+
+def test_no_detections_above_sigmoid_range(detector):
+    # scores are sigmoids (< 2.0 always): an unreachable threshold must give
+    # an empty result regardless of weights
+    rng = np.random.RandomState(1)
+    image = rng.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+    res = detector(image, confidence_threshold=2.0)
+    assert len(res.heads) == 0
+
+
+def test_deterministic(detector):
+    rng = np.random.RandomState(3)
+    image = rng.randint(0, 255, (72, 96, 3), dtype=np.uint8)
+    a = detector(image, confidence_threshold=1e-6)
+    b = detector(image, confidence_threshold=1e-6)
+    assert len(a.heads) == len(b.heads)
+    for ha, hb in zip(a.heads, b.heads):
+        assert ha.bbox == hb.bbox
+        np.testing.assert_array_equal(ha.vertices_3d, hb.vertices_3d)
+
+
+def test_draw_modes(result):
+    for method in ("landmarks", "points", "pose", "full", "bbox"):
+        out = result.draw(method)
+        assert out.shape == result.original_image.shape
+        assert out.dtype == np.uint8
+
+
+def test_save_meshes(result, tmp_path):
+    result.save_meshes(str(tmp_path))
+    files = sorted(tmp_path.glob("head_*.obj"))
+    assert len(files) == len(result.heads)
+    text = files[0].read_text()
+    assert text.startswith("v ")
+    assert "\nf " in text
+    # 1-based faces
+    first_face = [int(t) for t in text.split("\nf ")[1].split()[:3]]
+    assert min(first_face) >= 1
+
+
+def test_get_aligned_heads(result):
+    crops = result.get_aligned_heads()
+    assert len(crops) == len(result.heads)
+
+
+def test_get_pncc(result):
+    pncc = result.get_pncc()
+    assert pncc.shape == result.original_image.shape
+    assert pncc.dtype == result.original_image.dtype
+
+
+def test_detection_count_monotone_in_threshold(detector):
+    rng = np.random.RandomState(2)
+    image = rng.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+    low = detector(image, confidence_threshold=1e-6)
+    high = detector(image, confidence_threshold=0.02)
+    assert len(high.heads) <= len(low.heads)

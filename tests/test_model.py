@@ -1,0 +1,124 @@
+"""YoloHeads model: shape/decode invariants on a tiny arch (CPU-fast)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from head_detector_tpu.head_info import NUM_FLAME_PARAMS
+from head_detector_tpu.models import build_model, init_model, make_anchors
+from head_detector_tpu.models.presets import (
+    ArchCfg,
+    HeadCfg,
+    NeckStageCfg,
+    StageCfg,
+    get_arch,
+)
+
+TINY = ArchCfg(
+    name="tiny",
+    stem_channels=8,
+    stages=(
+        StageCfg(16, 1, 8, False),
+        StageCfg(24, 1, 8, True),
+        StageCfg(32, 1, 16, False),
+        StageCfg(48, 1, 16, True),
+    ),
+    spp_channels=48,
+    neck_up=(
+        NeckStageCfg(24, 1, 8, reduce_channels=True),
+        NeckStageCfg(16, 1, 8, reduce_channels=True),
+    ),
+    neck_down=(
+        NeckStageCfg(24, 1, 8),
+        NeckStageCfg(32, 1, 8),
+    ),
+    heads=tuple(
+        HeadCfg(
+            stride=s,
+            bbox_inter_channels=16,
+            flame_inter_channels=16,
+            flame_regression_blocks=1,
+            flame_shape_inter_channels=16,
+            flame_expression_inter_channels=8,
+            flame_shape_out_channels=8,
+            flame_expression_out_channels=8,
+            flame_transformation_inter_channels=8,
+        )
+        for s in (8, 16, 32)
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = build_model(TINY)
+    variables = init_model(model, jax.random.PRNGKey(0), (64, 64))
+    return model, variables
+
+
+def test_forward_shapes(tiny_model):
+    model, variables = tiny_model
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+    decoded, raw = model.apply(variables, x, train=False)
+    a = 8 * 8 + 4 * 4 + 2 * 2  # anchors at strides 8/16/32 on 64x64
+    assert decoded.boxes_xyxy.shape == (2, a, 4)
+    assert decoded.scores.shape == (2, a, 1)
+    assert decoded.flame_params.shape == (2, a, NUM_FLAME_PARAMS)
+    assert raw.cls_score_list.shape == (2, a, 1)
+    assert raw.reg_distri_list.shape == (2, a, 4 * 17)
+    assert raw.anchors.shape == (a, 4)
+    assert raw.anchor_points.shape == (a, 2)
+    assert raw.num_anchors_list == (64, 16, 4)
+    assert np.all(np.isfinite(np.asarray(decoded.boxes_xyxy)))
+
+
+def test_decode_invariants(tiny_model):
+    """Scores in (0,1); cls prior bias => initial scores ~0.01; boxes span
+    sane pixel ranges; FLAME scale positive and stride-scaled."""
+    model, variables = tiny_model
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    decoded, raw = model.apply(variables, x, train=False)
+    scores = np.asarray(decoded.scores)
+    # sigmoid range (an untrained net may saturate individual anchors)
+    assert (scores >= 0).all() and (scores <= 1).all()
+    assert np.isfinite(scores).all()
+
+    flame = np.asarray(decoded.flame_params)
+    assert (flame[..., 412] > 0).all()
+
+    # translation was globalised by +centers: per-level means should be near
+    # the level's center-of-grid (net contribution is near zero at init)
+    centers = np.asarray(raw.anchor_points)
+    t_xy = flame[0, :, 409:411]
+    assert np.abs(t_xy - centers).max() < 64.0
+
+
+def test_train_mode_updates_batch_stats(tiny_model):
+    model, variables = tiny_model
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 64, 64, 3), jnp.float32)
+    (_, raw), mutated = model.apply(
+        variables, x, train=True, mutable=["batch_stats"]
+    )
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    changed = any(not np.allclose(a, b) for a, b in zip(old, new))
+    assert changed
+
+
+def test_make_anchors_matches_reference_layout():
+    anchors, points, counts, strides = make_anchors([(8, 8), (4, 4), (2, 2)], (8, 16, 32))
+    assert counts == (64, 16, 4)
+    # first cell center of stride-8 level: (0.5, 0.5) grid units
+    assert np.allclose(points[0], [0.5, 0.5])
+    # anchor box = center_px +- 2.5*stride
+    assert np.allclose(anchors[0], [0.5 * 8 - 20, 0.5 * 8 - 20, 0.5 * 8 + 20, 0.5 * 8 + 20])
+    # last level stride recorded per anchor
+    assert strides[0, 0] == 8 and strides[-1, 0] == 32
+
+
+def test_presets_exist():
+    for name in ("yolo_heads_n", "yolo_heads_s", "yolo_heads_m", "yolo_heads_l"):
+        arch = get_arch(name)
+        assert len(arch.stages) == 4 and len(arch.heads) == 3
+    assert get_arch("vgg_heads_l") is get_arch("yolo_heads_l")
