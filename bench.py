@@ -32,6 +32,11 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_
 
 def main():
     import jax
+
+    # persistent compile cache: repeat bench runs skip the (minutes-long)
+    # first compile of the L model
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hdt_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from head_detector_tpu.flame import FlameModel, reproject_spatial_vertices

@@ -211,8 +211,13 @@ def load_keypoint_indices(count: int = 445) -> np.ndarray:
     parts = []
     for name in sorted(os.listdir(base)):
         arr = np.load(os.path.join(base, name), allow_pickle=True)
-        arr = np.asarray(arr[()] if arr.dtype == object else arr).reshape(-1)
-        parts.append(arr.astype(np.int32))
+        value = arr[()] if arr.dtype == object else arr
+        if isinstance(value, dict):
+            # region files store {sub_region_name: indices}; take the union
+            for key in sorted(value):
+                parts.append(np.asarray(value[key]).reshape(-1).astype(np.int32))
+        else:
+            parts.append(np.asarray(value).reshape(-1).astype(np.int32))
     return np.concatenate(parts)
 
 

@@ -40,7 +40,7 @@ from head_detector_tpu.train.transforms import ComposeTransforms, PhotometricAug
 DAD_SIZE = 256
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
+@jax.jit
 def decode_dad_annotation(
     flame_model: FlameModel, params: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

@@ -1,0 +1,37 @@
+"""Batched affine warp vs cv2.warpAffine (INTER_LINEAR, BORDER_CONSTANT)."""
+
+import cv2
+import numpy as np
+import pytest
+
+from head_detector_tpu.ops.warp import affine_warp, invert_affine, warp_like_cv2
+import jax.numpy as jnp
+
+
+@pytest.mark.parametrize("angle,scale", [(0, 1.0), (30, 1.0), (-15, 0.7), (90, 1.3)])
+def test_warp_matches_cv2(angle, scale):
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (60, 80, 3), dtype=np.uint8)
+    mat = cv2.getRotationMatrix2D((40.0, 30.0), angle, scale)
+
+    want = cv2.warpAffine(img, mat, (64, 48), flags=cv2.INTER_LINEAR,
+                          borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    got = warp_like_cv2(img, mat, (64, 48))
+
+    # bilinear interpolation differs by at most 1-2 uint8 levels on
+    # fixed-point rounding; require near-exact agreement
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert np.percentile(diff, 99) <= 2
+    assert diff.mean() < 1.0
+
+
+def test_batched_warp_many_crops():
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (50, 50, 3), dtype=np.uint8)
+    mats = np.stack(
+        [cv2.getRotationMatrix2D((25.0, 25.0), a, 1.0) for a in (0, 45, 90, 180)]
+    )
+    out = affine_warp(jnp.asarray(img), jnp.asarray(invert_affine(mats)), 32, 32)
+    assert out.shape == (4, 32, 32, 3)
+    # identity crop equals the top-left 32x32 patch
+    np.testing.assert_allclose(np.asarray(out[0]), img[:32, :32].astype(np.float32), atol=0.6)
