@@ -26,6 +26,9 @@ __version__ = "0.1.0"
 _LAZY = {
     "HeadDetector": "head_detector_tpu.detector",
     "PredictionResult": "head_detector_tpu.detection_result",
+    "PNCCProcessor": "head_detector_tpu.pncc",
+    "YoloHeadsPostPredictionCallback": "head_detector_tpu.post_prediction",
+    "FaceMeshPredictor": "head_detector_tpu.dad_teacher",
 }
 
 
