@@ -1,10 +1,16 @@
 """Headline benchmark: images/sec/chip at 640px, detect + FLAME mesh decode.
 
-Measures the full on-device inference pipeline on the flagship YoloHeads-L in
-bfloat16: uint8 batch -> normalize -> backbone/neck/heads decode -> fixed-
-shape NMS (keep 100) -> FLAME mesh decode of every kept detection -> boxes +
-scores + 5023-vertex meshes.  This is BASELINE.json's metric
-("images/sec/chip at 640px detect+mesh decode").
+Default mode measures the full on-device inference pipeline on the flagship
+YoloHeads-L in bfloat16 with the deploy-fused (single-conv QARepVGG) graph:
+uint8 batch -> normalize -> backbone/neck/heads decode -> fixed-shape NMS
+(keep 100) -> FLAME mesh decode of every kept detection.  This is
+BASELINE.json's metric ("images/sec/chip at 640px detect+mesh decode").
+
+Extra modes via HDT_BENCH_MODE (the other BASELINE.json configs):
+  pipeline  (default) config 1/2 — fused preprocess + on-device NMS + meshes
+  crops     config 3 — + batched aligned-crop warp of every detection
+  pncc      config 4 — rasterizer rendering all detected meshes
+  streaming config 5 — 1024px shard pipeline (StreamingDetector)
 
 The reference repo publishes no throughput numbers (BASELINE.md); the
 baseline anchor is this benchmark's own first recorded run, stored in
@@ -12,7 +18,7 @@ baseline anchor is this benchmark's own first recorded run, stored in
 anchor (1.0 on the anchoring run).
 
 Prints exactly ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
 """
 
 import json
@@ -27,28 +33,55 @@ SIZE = int(os.environ.get("HDT_BENCH_SIZE", "640"))
 WARMUP = int(os.environ.get("HDT_BENCH_WARMUP", "3"))
 ITERS = int(os.environ.get("HDT_BENCH_ITERS", "10"))
 MODEL = os.environ.get("HDT_BENCH_MODEL", "yolo_heads_l")
-BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+MODE = os.environ.get("HDT_BENCH_MODE", "pipeline")
+BASELINE_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
+)
 
 
-def main():
+def _build_fused(jnp):
     import jax
 
-    # persistent compile cache: repeat bench runs skip the (minutes-long)
-    # first compile of the L model
-    jax.config.update("jax_compilation_cache_dir", "/tmp/hdt_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from head_detector_tpu.export import build_deploy
+    from head_detector_tpu.models import build_model, init_model
+
+    train_model = build_model(MODEL, dtype=jnp.bfloat16)
+    variables = init_model(train_model, jax.random.PRNGKey(0), (SIZE, SIZE), batch=2)
+    return build_deploy(MODEL, variables)
+
+
+def _bench_pipeline(mode: str) -> float:
+    import jax
     import jax.numpy as jnp
 
     from head_detector_tpu.flame import FlameModel, reproject_spatial_vertices
-    from head_detector_tpu.models import build_model, init_model
     from head_detector_tpu.ops.nms import batched_nms
 
-    model = build_model(MODEL, dtype=jnp.bfloat16)
-    variables = init_model(model, jax.random.PRNGKey(0), (SIZE, SIZE), batch=2)
+    model, variables = _build_fused(jnp)
     flame = FlameModel.from_assets(dtype=jnp.float32)
 
+    if mode == "pncc":
+        from head_detector_tpu.assets_io import load_flame_assets
+        from head_detector_tpu.ops.rasterize import rasterize_zbuffer
+        from head_detector_tpu.pncc import compute_ncc_color_codes
+
+        assets = load_flame_assets()
+        idx_set = set(int(i) for i in assets.head_w_ears_indices)
+        pncc_tris = jnp.asarray(
+            np.array([t for t in assets.faces if all(int(v) in idx_set for v in t)],
+                     np.int32)
+        )
+        pncc_colors = jnp.asarray(
+            compute_ncc_color_codes(
+                assets.v_template.astype(np.float64), assets.head_w_ears_indices
+            ).astype(np.float32)
+        )
+
+    if mode == "crops":
+        from head_detector_tpu.ops.warp import affine_warp
+
     @jax.jit
-    def pipeline(images_u8):
+    def step(images_u8):
         images = images_u8.astype(jnp.float32) / 255.0
         decoded, _ = model.apply(variables, images, train=False)
         res = batched_nms(
@@ -60,26 +93,83 @@ def main():
             pre_nms_max=1000,
             post_nms_max=100,
         )
-        flat = res.flame_params.reshape(-1, res.flame_params.shape[-1])
+        b, k, p = res.flame_params.shape
+        flat = res.flame_params.reshape(b * k, p)
         _, _, verts = reproject_spatial_vertices(flame, flat, to_2d=False)
+        verts = verts.reshape(b, k, -1, 3)
+
+        if mode == "crops":
+            # batched warp: one 256px roll-less crop per kept box (config 3)
+            boxes = res.boxes  # [B, K, 4]
+            s = 256.0 / jnp.clip(boxes[..., 2] - boxes[..., 0], 1.0, None)
+            inv_s = 1.0 / s
+            mats = jnp.zeros((b, k, 2, 3))
+            mats = mats.at[..., 0, 0].set(inv_s).at[..., 1, 1].set(inv_s)
+            mats = mats.at[..., 0, 2].set(boxes[..., 0]).at[..., 1, 2].set(boxes[..., 1])
+            crops = jax.vmap(lambda img, m: affine_warp(img, m, 256, 256))(
+                images, mats
+            )
+            return res.boxes, res.scores, res.valid, verts, crops
+
+        if mode == "pncc":
+            # render the best head of each image onto its canvas (config 4)
+            best_verts = verts[:, 0]  # [B, V, 3]
+            flipped = best_verts.at[:, :, 2].multiply(-1.0)
+            render = jax.vmap(
+                lambda v: rasterize_zbuffer(
+                    v, pncc_tris, pncc_colors, height=SIZE, width=SIZE
+                )[0]
+            )(flipped)
+            return res.boxes, res.scores, res.valid, render
+
         return res.boxes, res.scores, res.valid, verts
 
     rng = np.random.RandomState(0)
-    images = jnp.asarray(
+    images = np.asarray(
         rng.randint(0, 255, (BATCH, SIZE, SIZE, 3), dtype=np.uint8)
     )
+    import jax.numpy as jnp2
+
+    images = jnp2.asarray(images)
 
     for _ in range(WARMUP):
-        out = pipeline(images)
+        out = step(images)
     jax.block_until_ready(out)
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = pipeline(images)
+        out = step(images)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
+    return BATCH * ITERS / dt
 
-    images_per_sec = BATCH * ITERS / dt
+
+def _bench_streaming() -> float:
+    from head_detector_tpu.pipeline import StreamingDetector
+
+    det = StreamingDetector(
+        model_name=MODEL,
+        image_size=int(os.environ.get("HDT_BENCH_SIZE", "1024")),
+        batch_size=BATCH,
+    )
+    return det.throughput(num_images=BATCH * max(ITERS, 4))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hdt_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if MODE == "streaming":
+        images_per_sec = _bench_streaming()
+        size = int(os.environ.get("HDT_BENCH_SIZE", "1024"))
+        metric = f"images/sec streaming @{size}px ({MODEL}, bf16, batch {BATCH})"
+    else:
+        images_per_sec = _bench_pipeline(MODE)
+        suffix = {"pipeline": "detect+mesh decode", "crops": "detect+mesh+crops",
+                  "pncc": "detect+mesh+PNCC render"}[MODE]
+        metric = f"images/sec/chip @{SIZE}px {suffix} ({MODEL}, bf16 fused, batch {BATCH})"
 
     baseline = None
     if os.path.isfile(BASELINE_FILE):
@@ -89,12 +179,11 @@ def main():
         except Exception:
             baseline = None
     if baseline is None:
-        # first recorded run anchors the baseline
         try:
             with open(BASELINE_FILE, "w") as f:
                 json.dump(
                     {"value": images_per_sec, "batch": BATCH, "size": SIZE,
-                     "model": MODEL, "device": str(jax.devices()[0])},
+                     "model": MODEL, "mode": MODE, "device": str(jax.devices()[0])},
                     f,
                 )
         except OSError:
@@ -104,7 +193,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"images/sec/chip @{SIZE}px detect+mesh decode ({MODEL}, bf16, batch {BATCH})",
+                "metric": metric,
                 "value": round(images_per_sec, 2),
                 "unit": "images/sec",
                 "vs_baseline": round(images_per_sec / baseline, 3),

@@ -74,21 +74,43 @@ class HeadDetector:
         pre_nms_max: int = 1000,
         post_nms_max: int = 100,
         iou_threshold: float = 0.5,
+        deploy: bool = True,
     ):
+        """``deploy=True`` (default) structurally reparameterises every
+        QARepVGG block into a single conv (export.fuse_qarepvgg) — the
+        inference-speed path; outputs agree with the training graph to
+        float32 roundoff.  Checkpoints already in deploy layout (containing
+        ``rbr_reparam`` scopes) are detected and used as-is."""
         self._image_size = image_size
         self._pre_nms_max = pre_nms_max
         self._post_nms_max = post_nms_max
         self._iou_threshold = iou_threshold
         self._flame = FlameModel.from_assets(dtype=jnp.float32)
-        self._model = build_model(model, dtype=dtype)
 
         checkpoint = checkpoint or os.environ.get("HDT_CHECKPOINT")
         if checkpoint:
-            self._variables = load_variables(checkpoint)
+            variables = load_variables(checkpoint)
         else:
-            self._variables = init_model(
-                self._model, jax.random.PRNGKey(0), (image_size, image_size)
+            train_model = build_model(model, dtype=dtype)
+            variables = init_model(
+                train_model, jax.random.PRNGKey(0), (image_size, image_size)
             )
+
+        def _is_deploy(tree) -> bool:
+            if isinstance(tree, dict):
+                return "rbr_reparam" in tree or any(
+                    _is_deploy(v) for v in tree.values()
+                )
+            return False
+
+        if deploy and not _is_deploy(variables.get("params", {})):
+            from head_detector_tpu.export import fuse_qarepvgg
+            from head_detector_tpu.models.presets import get_arch
+
+            variables = fuse_qarepvgg(variables, get_arch(model))
+        use_deploy = deploy or _is_deploy(variables.get("params", {}))
+        self._model = build_model(model, deploy=use_deploy, dtype=dtype)
+        self._variables = variables
         self._detect = jax.jit(self._detect_fn)
 
     # ------------------------------------------------------------------ #

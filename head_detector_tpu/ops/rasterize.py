@@ -195,6 +195,19 @@ def rasterize_zbuffer(
     return canvas, hits
 
 
+def _use_pallas() -> bool:
+    """Pick the Mosaic kernel on real TPUs, the XLA fallback elsewhere.
+    Override with HDT_RASTERIZER=pallas|xla."""
+    import os
+
+    choice = os.environ.get("HDT_RASTERIZER", "auto")
+    if choice == "pallas":
+        return True
+    if choice == "xla":
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
 def rasterize(
     vertices: np.ndarray,
     triangles: np.ndarray,
@@ -213,7 +226,13 @@ def rasterize(
         assert height is not None and width is not None and channel is not None
         bg = np.zeros((height, width, channel), dtype=np.uint8)
 
-    canvas, hit = rasterize_zbuffer(
+    if _use_pallas():
+        from head_detector_tpu.ops.rasterize_pallas import rasterize_zbuffer_pallas
+
+        kernel = rasterize_zbuffer_pallas
+    else:
+        kernel = rasterize_zbuffer
+    canvas, hit = kernel(
         jnp.asarray(vertices, jnp.float32),
         jnp.asarray(triangles, jnp.int32),
         jnp.asarray(colors, jnp.float32),
