@@ -1,0 +1,48 @@
+"""SegFormer (MiT) variant: shapes + decode contract (tiny config, CPU-fast)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from head_detector_tpu.head_info import NUM_FLAME_PARAMS
+from head_detector_tpu.models.segformer import MiTCfg, SegFormerYoloHeads
+from test_model import TINY
+
+TINY_MIT = MiTCfg(
+    embed_dims=(8, 16, 24, 32),
+    depths=(1, 1, 1, 1),
+    sr_ratios=(8, 4, 2, 1),
+    num_heads=(1, 2, 3, 4),
+)
+
+
+@pytest.fixture(scope="module")
+def seg_model():
+    model = SegFormerYoloHeads(mit=TINY_MIT, arch=TINY)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(lambda r, xx: model.init(r, xx, train=False))(
+        jax.random.PRNGKey(0), x
+    )
+    return model, variables
+
+
+def test_segformer_forward_shapes(seg_model):
+    model, variables = seg_model
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+    decoded, raw = model.apply(variables, x, train=False)
+    a = 8 * 8 + 4 * 4 + 2 * 2  # strides 8/16/32 (stage-4 of MiT is stride 32)
+    assert decoded.boxes_xyxy.shape == (2, a, 4)
+    assert decoded.scores.shape == (2, a, 1)
+    assert decoded.flame_params.shape == (2, a, NUM_FLAME_PARAMS)
+    assert np.isfinite(np.asarray(decoded.boxes_xyxy)).all()
+
+
+def test_segformer_spatial_reduction_shapes(seg_model):
+    # stage 1 at stride 4 on 64px input -> 16x16 tokens, sr 8 -> 2x2 kv:
+    # just assert the forward is consistent across input sizes (static shapes)
+    model, variables = seg_model
+    x = jnp.zeros((1, 96, 64, 3), jnp.float32)
+    decoded, _ = model.apply(variables, x, train=False)
+    a = 12 * 8 + 6 * 4 + 3 * 2
+    assert decoded.boxes_xyxy.shape == (1, a, 4)
