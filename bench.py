@@ -125,12 +125,9 @@ def _bench_pipeline(mode: str) -> float:
         return res.boxes, res.scores, res.valid, verts
 
     rng = np.random.RandomState(0)
-    images = np.asarray(
+    images = jnp.asarray(
         rng.randint(0, 255, (BATCH, SIZE, SIZE, 3), dtype=np.uint8)
     )
-    import jax.numpy as jnp2
-
-    images = jnp2.asarray(images)
 
     for _ in range(WARMUP):
         out = step(images)
