@@ -29,8 +29,6 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
-from head_detector_tpu.head_info import FLAME_CONSTS, FlameParams
-
 DAD_SIZE = 256
 
 

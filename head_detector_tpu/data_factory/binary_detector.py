@@ -11,7 +11,7 @@ filters only need "a face box inside some head box" semantics.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -16,7 +16,7 @@ raises an actionable error at construction when its dependency is missing.
 from __future__ import annotations
 
 import random
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import cv2
 import numpy as np

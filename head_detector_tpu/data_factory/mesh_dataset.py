@@ -14,7 +14,6 @@ DAD-3DNet, whose weights are not redistributable).
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import List, Optional
 

@@ -27,9 +27,8 @@ numbers change when a trained checkpoint is supplied.
 
 from __future__ import annotations
 
-import functools
 import os
-from typing import Any, Dict, List, Optional, Tuple, Union
+from typing import Any, Dict, List, Optional, Union
 
 import cv2
 import jax
@@ -43,7 +42,7 @@ from head_detector_tpu.head_info import Bbox, FlameParams, HeadMetadata, RPY
 from head_detector_tpu.models import build_model, init_model
 from head_detector_tpu.ops.letterbox import letterbox
 from head_detector_tpu.ops.nms import batched_nms
-from head_detector_tpu.ops.rotation import rot_mat_from_6dof, rotation_mats_to_rpy
+from head_detector_tpu.ops.rotation import rotation_mats_to_rpy
 
 
 def load_variables(path: str) -> Dict[str, Any]:

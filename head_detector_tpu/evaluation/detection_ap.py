@@ -10,7 +10,7 @@ restricted to one category and no area/maxdet stratification beyond
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 

@@ -29,7 +29,7 @@ import json
 import os
 from collections import defaultdict
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import cv2
 import numpy as np
@@ -42,9 +42,8 @@ from head_detector_tpu.evaluation.dad_metrics import (
     procrustes_align,
     scale_gt_to_standard,
 )
-from head_detector_tpu.evaluation.evaluate_pose import _face_bbox, _iou, _select
+from head_detector_tpu.evaluation.evaluate_pose import _iou, _select
 from head_detector_tpu.evaluation.predictor import EvalPredictor
-from head_detector_tpu.metrics import rpy_from_flame_params
 from head_detector_tpu.ops.rotation import rot_mat_from_6dof
 from head_detector_tpu.utils import HEAD_INDICES
 

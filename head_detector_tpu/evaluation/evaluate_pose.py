@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import argparse
 import glob
-import math
 from pathlib import Path
 from typing import Any, Optional, Tuple
 

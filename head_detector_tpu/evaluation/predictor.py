@@ -10,7 +10,7 @@ scale.  This is the training-checkpoint inference path, distinct from the
 
 from __future__ import annotations
 
-from typing import Any, List, Optional
+from typing import Any, Optional
 
 import cv2
 import jax

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from head_detector_tpu.assets_io import FlameAssets, load_flame_assets, NUM_JOINTS
+from head_detector_tpu.assets_io import FlameAssets, load_flame_assets
 from head_detector_tpu.head_info import FLAME_CONSTS, FlameParams
 from head_detector_tpu.ops.rotation import rodrigues, rot_mat_from_6dof
 

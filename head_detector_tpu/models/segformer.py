@@ -15,7 +15,7 @@ matmuls run in the model dtype (bf16-capable) with fp32 params.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -12,7 +12,6 @@ Functional specs:
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

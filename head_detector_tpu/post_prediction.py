@@ -13,10 +13,9 @@ prediction objects for the metrics/eval layer.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from head_detector_tpu.flame import FlameModel, reproject_spatial_vertices

@@ -13,21 +13,19 @@ import dataclasses
 import queue
 import threading
 import time
-from typing import Callable, Dict, Iterable, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional
 
 import jax
 import numpy as np
 
 from head_detector_tpu.flame import FlameModel
 from head_detector_tpu.models import build_model, init_model
-from head_detector_tpu.models.yolo_heads import YoloHeads
 from head_detector_tpu.post_prediction import YoloHeadsPostPredictionCallback
 from head_detector_tpu.train.checkpoint import CheckpointManager, restore_key_matching
 from head_detector_tpu.train.dataset import collate_samples
 from head_detector_tpu.train.loss import LossConfig
 from head_detector_tpu.train.trainer import (
     TrainConfig,
-    TrainState,
     create_train_state,
     make_data_mesh,
     make_train_step,
@@ -201,21 +199,22 @@ class Trainer:
         }
         import jax.numpy as jnp
 
-        @jax.jit
-        def forward(images):
-            decoded, _ = self.model.apply(eval_vars, images, train=False)
-            return decoded
+        if not hasattr(self, "_eval_forward"):
+            # variables enter as an ARGUMENT: capturing them in the closure
+            # would bake the weights into the executable and recompile every
+            # epoch
+            self._eval_forward = jax.jit(
+                lambda v, images: self.model.apply(v, images, train=False)[0]
+            )
 
-        all_samples_batches = []
         for images, targets in loader:
             imgs = jnp.asarray(images, jnp.float32) / 255.0
-            decoded = forward(imgs)
+            decoded = self._eval_forward(eval_vars, imgs)
             # metrics consume per-image MeshEstimationSample GT; rebuild the
             # minimal fields from the padded targets
             gt_samples = _targets_to_samples(images, targets)
             for m in metrics.values():
                 m.update(decoded, gt_samples)
-            all_samples_batches.append(len(gt_samples))
 
         out: Dict[str, float] = {}
         for name, m in metrics.items():
