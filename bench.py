@@ -155,8 +155,12 @@ def _bench_streaming() -> float:
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/hdt_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Persistent-cache note: executables DESERIALIZED from the cache run
+    # pathologically slow on the axon backend (measured 22 img/s vs 487
+    # freshly compiled) — enable the cache only for CPU runs.
+    if jax.default_backend() == "cpu":
+        jax.config.update("jax_compilation_cache_dir", "/tmp/hdt_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if MODE == "streaming":
         images_per_sec = _bench_streaming()

@@ -40,16 +40,30 @@ from head_detector_tpu.train.transforms import ComposeTransforms, PhotometricAug
 DAD_SIZE = 256
 
 
-@jax.jit
 def decode_dad_annotation(
     flame_model: FlameModel, params: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched GT decode in the DAD annotation convention (see module doc).
 
+    The head count is padded to the next power of two before the jitted
+    decode so arbitrary per-image counts reuse a handful of compilations.
+
     :param params: [N, 413]
     :return: (canonical vertices [N, V, 3], projected [N, V, 2] in 256-crop
               coords, rotation matrices [N, 3, 3])
     """
+    n = params.shape[0]
+    padded = max(1, 1 << (n - 1).bit_length()) if n else 1
+    if padded != n:
+        params = jnp.pad(params, ((0, padded - n), (0, 0)))
+    verts, proj, rot = _decode_dad_jit(flame_model, params)
+    return verts[:n], proj[:n], rot[:n]
+
+
+@jax.jit
+def _decode_dad_jit(
+    flame_model: FlameModel, params: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     p = FlameParams.from_3dmm(params, FLAME_CONSTS)
     vertices = flame_vertices(flame_model, p, zero_rot=True)
     rotation = rot_mat_from_6dof(p.rotation.astype(vertices.dtype))

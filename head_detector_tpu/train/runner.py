@@ -51,6 +51,8 @@ class RunConfig:
     metric_to_watch: str = "KeypointsNME"
     greater_metric_to_watch_is_better: bool = False
     log_every: int = 50
+    log_dir: Optional[str] = None  # TensorBoard scalars + extreme-batch panels
+    visualization_frequency_epochs: int = 2
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
 
@@ -142,6 +144,19 @@ class Trainer:
         self.metrics_factory = metrics_factory or self._default_metrics
         self.history: List[Dict[str, float]] = []
 
+        self.tb = None
+        self.extreme_viz = None
+        if cfg.log_dir:
+            from head_detector_tpu.train.visualization import (
+                ExtremeBatchVisualizationCallback,
+                TensorBoardLogger,
+            )
+
+            self.tb = TensorBoardLogger(cfg.log_dir)
+            self.extreme_viz = ExtremeBatchVisualizationCallback(
+                cfg.log_dir, freq=cfg.visualization_frequency_epochs, logger=self.tb
+            )
+
         if cfg.resume:
             latest = self.ckpt.latest_step()
             if latest is not None:
@@ -184,6 +199,20 @@ class Trainer:
             "KeypointsFailureRate": KeypointsFailureRate(callback, indexes_subset="head"),
             "RPYError": RPYError(callback),
         }
+
+    def _predict_for_viz(self, images: np.ndarray):
+        """Decode the extreme batch with the current weights (boxes+scores)."""
+        import jax.numpy as jnp
+
+        if not hasattr(self, "_viz_forward"):
+            self._viz_forward = jax.jit(
+                lambda v, x: self.model.apply(v, x, train=False)[0]
+            )
+        variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        decoded = self._viz_forward(
+            variables, jnp.asarray(images, jnp.float32) / 255.0
+        )
+        return np.asarray(decoded.boxes_xyxy), np.asarray(decoded.scores)[..., 0]
 
     def validate(self) -> Dict[str, float]:
         if self.val_dataset is None:
@@ -253,10 +282,24 @@ class Trainer:
                         f"iou={c['loss_iou']:.4f} pose={c['loss_pose_reg']:.4f} "
                         f"verts={c['loss_3d_vertices']:.4f} ({ips:.1f} img/s)"
                     )
+                    if self.tb is not None:
+                        self.tb.log_scalars(c, int(self.state.step), prefix="train/")
+                        self.tb.log_scalars({"images_per_sec": ips}, int(self.state.step))
+                if self.extreme_viz is not None:
+                    self.extreme_viz.update(
+                        float(comps["loss"]), images,
+                        np.asarray(targets.gt_bboxes),
+                        np.asarray(targets.pad_gt_mask)[..., 0],
+                        gt_keypoints=np.asarray(targets.gt_vertices_2d),
+                    )
                 if cfg.steps_per_epoch and bi + 1 >= cfg.steps_per_epoch:
                     break
 
+            if self.extreme_viz is not None:
+                self.extreme_viz.on_epoch_end(epoch, predict_fn=self._predict_for_viz)
             last_metrics = self.validate()
+            if self.tb is not None and last_metrics:
+                self.tb.log_scalars(last_metrics, int(self.state.step), prefix="val/")
             if last_metrics:
                 print(f"[epoch {epoch}] val: {last_metrics}")
             self.history.append(dict(last_metrics))

@@ -65,8 +65,9 @@ class ExtremeBatchVisualizationCallback:
         self._extreme = None
 
     def update(self, loss: float, images: np.ndarray, gt_boxes: np.ndarray,
-               gt_mask: np.ndarray, pred_boxes: np.ndarray, pred_scores: np.ndarray,
-               gt_keypoints: Optional[np.ndarray] = None):
+               gt_mask: np.ndarray, gt_keypoints: Optional[np.ndarray] = None):
+        """Track the max-loss batch; predictions are computed lazily at epoch
+        end (the reference also defers decoding to the extreme batch)."""
         if loss > self._extreme_loss:
             self._extreme_loss = float(loss)
             n = min(len(images), self.max_images)
@@ -74,16 +75,23 @@ class ExtremeBatchVisualizationCallback:
                 np.asarray(images[:n]),
                 np.asarray(gt_boxes[:n]),
                 np.asarray(gt_mask[:n]),
-                np.asarray(pred_boxes[:n]),
-                np.asarray(pred_scores[:n]),
                 np.asarray(gt_keypoints[:n]) if gt_keypoints is not None else None,
             )
 
-    def on_epoch_end(self, epoch: int):
+    def on_epoch_end(self, epoch: int, predict_fn=None):
+        """:param predict_fn: images -> (pred_boxes [B,N,4], pred_scores [B,N])
+        run only on the stored extreme batch."""
         if self._extreme is None or epoch % self.freq:
             self._reset()
             return
-        images, gt_boxes, gt_mask, pred_boxes, pred_scores, gt_kps = self._extreme
+        images, gt_boxes, gt_mask, gt_kps = self._extreme
+        if predict_fn is not None:
+            pred_boxes, pred_scores = predict_fn(images)
+            pred_boxes = np.asarray(pred_boxes)
+            pred_scores = np.asarray(pred_scores)
+        else:
+            pred_boxes = np.zeros((len(images), 0, 4), np.float32)
+            pred_scores = np.zeros((len(images), 0), np.float32)
         panels: List[np.ndarray] = []
         for i in range(len(images)):
             img = images[i]
