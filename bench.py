@@ -141,6 +141,26 @@ def _bench_pipeline(mode: str) -> float:
     return BATCH * ITERS / dt
 
 
+def _bench_latency() -> float:
+    """p50 single-image end-to-end latency (ms) through the public
+    HeadDetector API — uint8 image in, HeadMetadata list out."""
+    import numpy as np
+
+    from head_detector_tpu.detector import HeadDetector
+
+    det = HeadDetector(model=MODEL, image_size=SIZE)
+    rng = np.random.RandomState(0)
+    image = rng.randint(0, 255, (480, SIZE, 3), dtype=np.uint8)
+    for _ in range(max(WARMUP, 2)):
+        det(image, confidence_threshold=0.5)
+    times = []
+    for _ in range(max(ITERS, 20)):
+        t0 = time.perf_counter()
+        det(image, confidence_threshold=0.5)
+        times.append((time.perf_counter() - t0) * 1000.0)
+    return float(np.percentile(times, 50))
+
+
 def _bench_streaming() -> float:
     from head_detector_tpu.pipeline import StreamingDetector
 
@@ -161,6 +181,20 @@ def main():
     if jax.default_backend() == "cpu":
         jax.config.update("jax_compilation_cache_dir", "/tmp/hdt_jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if MODE == "latency":
+        p50_ms = _bench_latency()
+        print(
+            json.dumps(
+                {
+                    "metric": f"p50 single-image latency @{SIZE}px ({MODEL}, e2e HeadDetector)",
+                    "value": round(p50_ms, 2),
+                    "unit": "ms",
+                    "vs_baseline": 1.0,
+                }
+            )
+        )
+        return
 
     if MODE == "streaming":
         images_per_sec = _bench_streaming()
