@@ -64,8 +64,9 @@ def _raster_kernel(
         txi = tile_idx % gw
         y0 = (tyi * t).astype(jnp.float32)
         x0 = (txi * t).astype(jnp.float32)
-        rows = jax.lax.broadcasted_iota(jnp.float32, (t, t), 0)
-        cols = jax.lax.broadcasted_iota(jnp.float32, (t, t), 1)
+        # Mosaic's tpu.iota is integer-only; cast after
+        rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0).astype(jnp.float32)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1).astype(jnp.float32)
         py = (y0 + rows).reshape(t * t)
         px = (x0 + cols).reshape(t * t)
         in_canvas = (py <= height - 1) & (px <= width - 1)
