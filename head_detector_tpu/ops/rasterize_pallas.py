@@ -11,14 +11,16 @@ kernel:
 * a precomputed [tiles, chunks] overlap bitmap rides scalar prefetch; chunks
   whose triangle bboxes all miss the tile skip their compute via ``pl.when``
   (a real scalar branch),
-* no gathers: the per-pixel winning triangle's weights/colors are extracted
-  with a one-hot mask (VPU selects + one MXU matmul for the colors),
+* no gathers and no in-kernel rank changes (Mosaic layout inference rejects
+  2D<->1D reshapes): pixels are a [T*T, 1] column, per-chunk math is [T*T, C],
+  the winning triangle is selected with a masked index-min one-hot, and the
+  output blocks are flat [1, T*T, C] tiles reassembled by XLA outside,
 * triangle records are stored [12, C] / colors [9, C] so the lane dimension
   is the chunk size (128-multiple), not the tiny field count.
 
-Winner rule is the same lexicographic (depth, -index): ``jnp.argmax`` picks
-the first maximum within a chunk, and the strict ``>`` against the running
-buffer keeps earlier chunks on ties.
+Winner rule matches the golden's lexicographic (depth, -index): within a
+chunk the LOWEST-index triangle at max depth wins (masked index-min), and the
+strict ``>`` against the running buffer keeps earlier chunks on ties.
 """
 
 from __future__ import annotations
@@ -38,9 +40,9 @@ def _raster_kernel(
     overlap_ref,  # scalar prefetch [tiles, chunks] int32
     tri_ref,  # block [1, 12, C]: p0x p0y p1x p1y p2x p2y z0 z1 z2 valid pad pad
     col_ref,  # block [1, 9, C]: c0.rgb c1.rgb c2.rgb
-    color_out_ref,  # [T, T, 3] (same block across the chunk axis)
-    depth_out_ref,  # [T, T]
-    zbuf,  # VMEM scratch [T*T]
+    color_out_ref,  # block [1, T*T, 3]
+    depth_out_ref,  # block [1, T*T, 1]
+    zbuf,  # VMEM scratch [T*T, 1]
     cbuf,  # VMEM scratch [T*T, 3]
     *,
     tile: int,
@@ -49,69 +51,71 @@ def _raster_kernel(
     width: int,
 ):
     t = tile
+    p = t * t
     tile_idx = pl.program_id(0)
     ci = pl.program_id(1)
     n_chunks = pl.num_programs(1)
 
     @pl.when(ci == 0)
     def _init():
-        zbuf[:] = jnp.full((t * t,), NEG_DEPTH, jnp.float32)
-        cbuf[:] = jnp.zeros((t * t, 3), jnp.float32)
+        zbuf[:] = jnp.full((p, 1), NEG_DEPTH, jnp.float32)
+        cbuf[:] = jnp.zeros((p, 3), jnp.float32)
 
     @pl.when(overlap_ref[tile_idx, ci] > 0)
     def _chunk():
-        tyi = tile_idx // gw
-        txi = tile_idx % gw
-        y0 = (tyi * t).astype(jnp.float32)
-        x0 = (txi * t).astype(jnp.float32)
-        # Mosaic's tpu.iota is integer-only; cast after
-        rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0).astype(jnp.float32)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1).astype(jnp.float32)
-        py = (y0 + rows).reshape(t * t)
-        px = (x0 + cols).reshape(t * t)
-        in_canvas = (py <= height - 1) & (px <= width - 1)
+        y0 = (tile_idx // gw) * t
+        x0 = (tile_idx % gw) * t
+        # linear pixel index -> (row, col), all [P, 1] int32 (Mosaic iota is
+        # integer-only and rank changes are not supported in-kernel)
+        lin = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+        py = (y0 + lin // t).astype(jnp.float32)
+        px = (x0 + lin % t).astype(jnp.float32)
+        in_canvas = (py <= height - 1) & (px <= width - 1)  # [P, 1]
 
         rec = tri_ref[0]  # [12, C]
-        p0x, p0y = rec[0], rec[1]
-        p1x, p1y = rec[2], rec[3]
-        p2x, p2y = rec[4], rec[5]
-        z0, z1, z2 = rec[6], rec[7], rec[8]
-        valid = rec[9] > 0.5
+        p0x, p0y = rec[0:1], rec[1:2]  # [1, C]
+        p1x, p1y = rec[2:3], rec[3:4]
+        p2x, p2y = rec[4:5], rec[5:6]
+        z0, z1, z2 = rec[6:7], rec[7:8], rec[8:9]
+        valid = rec[9:10] > 0.5
 
         # barycentric weights [P, C] (C++ get_point_weight formula with the
         # relative degenerate guard; see ops/rasterize.py)
-        v0x, v0y = p2x - p0x, p2y - p0y
+        v0x, v0y = p2x - p0x, p2y - p0y  # [1, C]
         v1x, v1y = p1x - p0x, p1y - p0y
-        v2x = px[:, None] - p0x[None, :]
-        v2y = py[:, None] - p0y[None, :]
+        v2x = px - p0x  # [P, C]
+        v2y = py - p0y
 
         dot00 = v0x * v0x + v0y * v0y
         dot01 = v0x * v1x + v0y * v1y
         dot11 = v1x * v1x + v1y * v1y
-        dot02 = v0x[None, :] * v2x + v0y[None, :] * v2y
-        dot12 = v1x[None, :] * v2x + v1y[None, :] * v2y
+        dot02 = v0x * v2x + v0y * v2y
+        dot12 = v1x * v2x + v1y * v2y
 
         deno = dot00 * dot11 - dot01 * dot01
         degenerate = deno <= 1e-6 * dot00 * dot11
         inver = jnp.where(degenerate, 0.0, 1.0 / jnp.where(degenerate, 1.0, deno))
-        u = (dot11[None, :] * dot02 - dot01[None, :] * dot12) * inver[None, :]
-        v = (dot00[None, :] * dot12 - dot01[None, :] * dot02) * inver[None, :]
+        u = (dot11 * dot02 - dot01 * dot12) * inver
+        v = (dot00 * dot12 - dot01 * dot02) * inver
         w0 = 1.0 - u - v
 
         inside = (w0 > 0) & (v > 0) & (u > 0)
-        inside &= valid[None, :] & in_canvas[:, None]
+        inside &= valid & in_canvas
 
-        depth = w0 * z0[None] + v * z1[None] + u * z2[None]
+        depth = w0 * z0 + v * z1 + u * z2
         depth = jnp.where(inside, depth, NEG_DEPTH)
 
-        best_depth = jnp.max(depth, axis=1)  # [P]
-        best = jnp.argmax(depth, axis=1)  # first max -> lowest index
+        # first (lowest-index) maximum via masked index-min — no argmax/gather
+        best_depth = jnp.max(depth, axis=1, keepdims=True)  # [P, 1]
         c_iota = jax.lax.broadcasted_iota(jnp.int32, depth.shape, 1)
-        onehot = (c_iota == best[:, None]).astype(jnp.float32)  # [P, C]
+        is_max = depth == best_depth
+        big = jnp.int32(depth.shape[1])
+        best_idx = jnp.min(jnp.where(is_max, c_iota, big), axis=1, keepdims=True)
+        onehot = (c_iota == best_idx).astype(jnp.float32)  # [P, C]
 
-        bw0 = jnp.sum(w0 * onehot, axis=1)
-        bw1 = jnp.sum(v * onehot, axis=1)
-        bw2 = jnp.sum(u * onehot, axis=1)
+        bw0 = jnp.sum(w0 * onehot, axis=1, keepdims=True)
+        bw1 = jnp.sum(v * onehot, axis=1, keepdims=True)
+        bw2 = jnp.sum(u * onehot, axis=1, keepdims=True)
         # colors: onehot [P, C] x col [9, C]^T -> [P, 9] on the MXU
         cols9 = jax.lax.dot_general(
             onehot, col_ref[0],
@@ -119,19 +123,17 @@ def _raster_kernel(
             preferred_element_type=jnp.float32,
         )
         color = (
-            bw0[:, None] * cols9[:, 0:3]
-            + bw1[:, None] * cols9[:, 3:6]
-            + bw2[:, None] * cols9[:, 6:9]
+            bw0 * cols9[:, 0:3] + bw1 * cols9[:, 3:6] + bw2 * cols9[:, 6:9]
         )
 
-        win = best_depth > zbuf[:]
+        win = best_depth > zbuf[:]  # [P, 1]
         zbuf[:] = jnp.where(win, best_depth, zbuf[:])
-        cbuf[:] = jnp.where(win[:, None], color, cbuf[:])
+        cbuf[:] = jnp.where(win, color, cbuf[:])
 
     @pl.when(ci == n_chunks - 1)
     def _flush():
-        color_out_ref[:] = cbuf[:].reshape(t, t, 3)
-        depth_out_ref[:] = zbuf[:].reshape(t, t)
+        color_out_ref[0] = cbuf[:]
+        depth_out_ref[0] = zbuf[:]
 
 
 @functools.partial(
@@ -219,16 +221,16 @@ def rasterize_zbuffer_pallas(
         ],
         out_specs=[
             pl.BlockSpec(
-                (tile, tile, 3), lambda ti, ci, *_: (ti // gw, ti % gw, 0),
+                (1, tile * tile, 3), lambda ti, ci, *_: (ti, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (tile, tile), lambda ti, ci, *_: (ti // gw, ti % gw),
+                (1, tile * tile, 1), lambda ti, ci, *_: (ti, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((tile * tile,), jnp.float32),
+            pltpu.VMEM((tile * tile, 1), jnp.float32),
             pltpu.VMEM((tile * tile, 3), jnp.float32),
         ],
     )
@@ -239,15 +241,19 @@ def rasterize_zbuffer_pallas(
     color_t, depth_t = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((gh * tile, gw * tile, 3), jnp.float32),
-            jax.ShapeDtypeStruct((gh * tile, gw * tile), jnp.float32),
+            jax.ShapeDtypeStruct((gh * gw, tile * tile, 3), jnp.float32),
+            jax.ShapeDtypeStruct((gh * gw, tile * tile, 1), jnp.float32),
         ),
         grid_spec=grid_spec,
         interpret=interpret,
     )(overlap, rec, col)
 
-    canvas = color_t[:height, :width]
-    hits = depth_t[:height, :width] > NEG_DEPTH
+    # reassemble tiles outside the kernel (XLA handles the rank changes)
+    canvas = color_t.reshape(gh, gw, tile, tile, 3).transpose(0, 2, 1, 3, 4)
+    canvas = canvas.reshape(gh * tile, gw * tile, 3)[:height, :width]
+    depth = depth_t.reshape(gh, gw, tile, tile).transpose(0, 2, 1, 3)
+    depth = depth.reshape(gh * tile, gw * tile)[:height, :width]
+    hits = depth > NEG_DEPTH
     if reverse:
         canvas = canvas[::-1]
         hits = hits[::-1]
