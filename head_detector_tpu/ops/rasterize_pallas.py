@@ -146,8 +146,8 @@ def rasterize_zbuffer_pallas(
     colors: jnp.ndarray,  # [V, 3] in [0, 1]
     height: int,
     width: int,
-    tile: int = 128,
-    chunk: int = 512,
+    tile: int = 64,
+    chunk: int = 256,
     reverse: bool = False,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -245,6 +245,11 @@ def rasterize_zbuffer_pallas(
             jax.ShapeDtypeStruct((gh * gw, tile * tile, 1), jnp.float32),
         ),
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            # the [P, C] weight/depth intermediates exceed the 16M default
+            # scoped-vmem budget; the kernel fits comfortably in ~half VMEM
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(overlap, rec, col)
 
