@@ -199,9 +199,15 @@ class DAD3DHeadsDataset:
 
 
 class SyntheticHeadsDataset:
-    """Procedural dataset for tests/benchmarks: random FLAME heads rendered
-    as GT against noise images.  Exercises the full target pipeline without
-    the 187 GB VGGHeads download (unavailable in this environment)."""
+    """Procedural dataset for tests/benchmarks: random FLAME heads as GT.
+
+    ``render=False`` (default) pairs the GT with pure-noise images — exercises
+    the target pipeline shape-wise, but detection is unlearnable.
+    ``render=True`` rasterizes each head's mesh (NCC colors) onto the image
+    with the on-device rasterizer, giving a fully LEARNABLE synthetic task:
+    the model can be trained and evaluated end-to-end without the 187 GB
+    VGGHeads download (unavailable in this environment).
+    """
 
     def __init__(
         self,
@@ -210,15 +216,34 @@ class SyntheticHeadsDataset:
         length: int = 1024,
         max_heads: int = 3,
         seed: int = 0,
+        render: bool = False,
     ):
         self.flame_model = flame_model or FlameModel.from_assets()
         self.image_size = image_size
         self.length = length
         self.max_heads = max_heads
         self.seed = seed
+        self.render = render
+        self._render_assets = None
 
     def __len__(self):
         return self.length
+
+    def _get_render_assets(self):
+        if self._render_assets is None:
+            from head_detector_tpu.assets_io import load_flame_assets
+            from head_detector_tpu.pncc import compute_ncc_color_codes
+
+            assets = load_flame_assets()
+            self._render_assets = (
+                jnp.asarray(assets.faces, jnp.int32),
+                jnp.asarray(
+                    compute_ncc_color_codes(
+                        assets.v_template.astype(np.float64)
+                    ).astype(np.float32)
+                ),
+            )
+        return self._render_assets
 
     def __getitem__(self, index: int) -> MeshEstimationSample:
         rng = np.random.RandomState(self.seed * 100003 + index)
@@ -228,7 +253,7 @@ class SyntheticHeadsDataset:
         params[:, 409] = rng.uniform(0.2 * s, 0.8 * s, n)  # tx
         params[:, 410] = rng.uniform(0.2 * s, 0.8 * s, n)  # ty
         params[:, 411] = 0.0
-        params[:, 412] = rng.uniform(0.05 * s, 0.2 * s, n)  # scale (pixels)
+        params[:, 412] = rng.uniform(0.2 * s, 0.6 * s, n)  # scale (pixels)
 
         from head_detector_tpu.flame import reproject_spatial_vertices
 
@@ -246,7 +271,25 @@ class SyntheticHeadsDataset:
         y2 = proj[..., 1].max(1)
         bboxes = np.stack([x1, y1, x2 - x1, y2 - y1], axis=1).astype(np.float32)
 
-        image = rng.randint(0, 255, (s, s, 3), dtype=np.uint8)
+        image = (rng.rand(s, s, 3) * 60 + 40).astype(np.uint8)  # dim background
+        if self.render:
+            from head_detector_tpu.ops.rasterize import rasterize_zbuffer
+
+            faces, colors = self._get_render_assets()
+            for i in range(n):
+                v = np.array(proj[i], np.float32, copy=True)
+                v[:, 2] *= -1  # camera-facing depth like the PNCC path
+                canvas, hit = rasterize_zbuffer(
+                    jnp.asarray(v), faces, colors, height=s, width=s
+                )
+                canvas = np.asarray(canvas)
+                hit = np.asarray(hit)
+                image = np.where(
+                    hit[..., None],
+                    np.clip(canvas * 255.0, 0, 255).astype(np.uint8),
+                    image,
+                )
+
         return MeshEstimationSample(
             image=image,
             vertices_2d=joints,
