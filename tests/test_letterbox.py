@@ -33,10 +33,22 @@ def test_letterbox_padding_value_and_range():
     # padded rows are exactly 127/255
     np.testing.assert_allclose(out[0], 127.0 / 255.0)
     np.testing.assert_allclose(out[-1], 127.0 / 255.0)
-    # content region approximates a cv2 resize (bilinear as tolerance ref)
+    # content region matches cv2 INTER_LANCZOS4 to sub-LSB (the residual is
+    # cv2's 14-bit fixed-point weights + uint8 rounding)
     want = cv2.resize(img, (640, int(100 * 640 / 300)), interpolation=cv2.INTER_LANCZOS4)
     got = out[pt : pt + want.shape[0]] * 255.0
-    assert np.abs(got - want.astype(np.float32)).mean() < 4.0
+    diff = np.abs(got - want.astype(np.float32))
+    assert diff.mean() < 0.5 and diff.max() < 2.0
+
+
+def test_lanczos4_resize_matches_cv2():
+    from head_detector_tpu.ops.letterbox import lanczos4_resize
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 255, (77, 53, 3), np.uint8)
+    want = cv2.resize(img, (440, 640), interpolation=cv2.INTER_LANCZOS4).astype(np.float32)
+    got = np.clip(np.asarray(lanczos4_resize(jnp.asarray(img, jnp.float32), 640, 440)), 0, 255)
+    assert np.abs(got - want).max() < 1.5
 
 
 def test_letterbox_batch_shapes():
