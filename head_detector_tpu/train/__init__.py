@@ -25,4 +25,15 @@ __all__ = [
     "TrainState",
     "create_train_state",
     "make_train_step",
+    "Trainer",
+    "RunConfig",
 ]
+
+
+def __getattr__(name):
+    # lazy: runner pulls in cv2/orbax/metrics
+    if name in ("Trainer", "RunConfig"):
+        from head_detector_tpu.train import runner
+
+        return getattr(runner, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
