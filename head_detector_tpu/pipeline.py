@@ -139,13 +139,18 @@ class StreamingDetector:
             canvases, metas = item
             arr = jax.device_put(jnp.asarray(canvases), self._batch_sharding)
             boxes, scores, valid, verts = self._step(arr)
-            boxes, scores, valid, verts = map(np.asarray, (boxes, scores, valid, verts))
+            # Small outputs come to host; the mesh tensor (e.g. 96 MB/batch at
+            # K=100) stays a device array — converting it here would serialise
+            # the pipeline on device->host bandwidth (through the axon relay
+            # that alone was measured to cap throughput at ~4 img/s @1024).
+            boxes, scores, valid = map(np.asarray, (boxes, scores, valid))
+            jax.block_until_ready(verts)
             for i, scale in enumerate(metas):
                 yield {
                     "boxes_xyxy": boxes[i],
                     "scores": scores[i],
                     "valid": valid[i],
-                    "vertices": verts[i] if verts.size else None,
+                    "vertices": verts[i] if verts.size else None,  # device array
                     "scale": scale,
                 }
 
