@@ -99,11 +99,13 @@ def _bench_pipeline(mode: str) -> float:
         verts = verts.reshape(b, k, -1, 3)
 
         if mode == "crops":
-            # batched warp: one 256px roll-less crop per kept box (config 3)
-            boxes = res.boxes  # [B, K, 4]
+            # batched warp: 256px crops of the top-10 boxes per image
+            # (config 3; 100 crops/image would be 2.5 GB of output alone)
+            kc = 10
+            boxes = res.boxes[:, :kc]  # [B, kc, 4]
             s = 256.0 / jnp.clip(boxes[..., 2] - boxes[..., 0], 1.0, None)
             inv_s = 1.0 / s
-            mats = jnp.zeros((b, k, 2, 3))
+            mats = jnp.zeros((b, kc, 2, 3))
             mats = mats.at[..., 0, 0].set(inv_s).at[..., 1, 1].set(inv_s)
             mats = mats.at[..., 0, 2].set(boxes[..., 0]).at[..., 1, 2].set(boxes[..., 1])
             crops = jax.vmap(lambda img, m: affine_warp(img, m, 256, 256))(
