@@ -78,7 +78,7 @@ def _bench_pipeline(mode: str) -> float:
         )
 
     if mode == "crops":
-        from head_detector_tpu.ops.warp import affine_warp
+        from head_detector_tpu.ops.warp import scaled_crops_matmul
 
     @jax.jit
     def step(images_u8):
@@ -100,17 +100,13 @@ def _bench_pipeline(mode: str) -> float:
 
         if mode == "crops":
             # batched warp: 256px crops of the top-10 boxes per image
-            # (config 3; 100 crops/image would be 2.5 GB of output alone)
+            # (config 3; 100 crops/image would be 2.5 GB of output alone).
+            # Separable matmul warp — the gather-based path measured 16 img/s.
             kc = 10
-            boxes = res.boxes[:, :kc]  # [B, kc, 4]
-            s = 256.0 / jnp.clip(boxes[..., 2] - boxes[..., 0], 1.0, None)
-            inv_s = 1.0 / s
-            mats = jnp.zeros((b, kc, 2, 3))
-            mats = mats.at[..., 0, 0].set(inv_s).at[..., 1, 1].set(inv_s)
-            mats = mats.at[..., 0, 2].set(boxes[..., 0]).at[..., 1, 2].set(boxes[..., 1])
-            crops = jax.vmap(lambda img, m: affine_warp(img, m, 256, 256))(
-                images, mats
-            )
+            boxes = jnp.clip(res.boxes[:, :kc], 1.0, None)  # [B, kc, 4]
+            crops = jax.vmap(
+                lambda img, bxs: scaled_crops_matmul(img, bxs, out_size=256)
+            )(images, boxes)
             return res.boxes, res.scores, res.valid, verts, crops
 
         if mode == "pncc":

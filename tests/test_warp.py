@@ -35,3 +35,22 @@ def test_batched_warp_many_crops():
     assert out.shape == (4, 32, 32, 3)
     # identity crop equals the top-left 32x32 patch
     np.testing.assert_allclose(np.asarray(out[0]), img[:32, :32].astype(np.float32), atol=0.6)
+
+
+def test_scaled_crops_matmul_matches_gather_warp():
+    from head_detector_tpu.ops.warp import scaled_crops_matmul
+
+    rng = np.random.RandomState(2)
+    img = rng.rand(60, 80, 3).astype(np.float32)
+    boxes = np.array([[10.0, 5.0, 42.0, 37.0], [0.0, 0.0, 80.0, 60.0]], np.float32)
+
+    got = np.asarray(scaled_crops_matmul(jnp.asarray(img), jnp.asarray(boxes), out_size=32))
+    # reference: the gather-based affine warp with the same scale+translate
+    mats = []
+    for x1, y1, x2, y2 in boxes:
+        s_x, s_y = (x2 - x1) / 32.0, (y2 - y1) / 32.0
+        mats.append(np.array([[s_x, 0, x1 + 0.5 * s_x - 0.5],
+                              [0, s_y, y1 + 0.5 * s_y - 0.5]], np.float32))
+    want = np.asarray(affine_warp(jnp.asarray(img), jnp.asarray(np.stack(mats)), 32, 32))
+    # interiors match bilinear exactly; borders differ (edge-clamp vs zero-fill)
+    np.testing.assert_allclose(got[:, 2:-2, 2:-2], want[:, 2:-2, 2:-2], atol=2e-5)
