@@ -62,7 +62,7 @@ def _bench_pipeline(mode: str) -> float:
 
     if mode == "pncc":
         from head_detector_tpu.assets_io import load_flame_assets
-        from head_detector_tpu.ops.rasterize import rasterize_zbuffer
+        from head_detector_tpu.ops.rasterize_pallas import rasterize_zbuffer_pallas
         from head_detector_tpu.pncc import compute_ncc_color_codes
 
         assets = load_flame_assets()
@@ -111,13 +111,16 @@ def _bench_pipeline(mode: str) -> float:
 
         if mode == "pncc":
             # render the best head of each image onto its canvas (config 4)
+            # via the Pallas kernel, sequentially per image (lax.map keeps
+            # the scalar-prefetch grid per render)
             best_verts = verts[:, 0]  # [B, V, 3]
             flipped = best_verts.at[:, :, 2].multiply(-1.0)
-            render = jax.vmap(
-                lambda v: rasterize_zbuffer(
+            render = jax.lax.map(
+                lambda v: rasterize_zbuffer_pallas(
                     v, pncc_tris, pncc_colors, height=SIZE, width=SIZE
-                )[0]
-            )(flipped)
+                )[0],
+                flipped,
+            )
             return res.boxes, res.scores, res.valid, render
 
         return res.boxes, res.scores, res.valid, verts
