@@ -64,8 +64,9 @@ def main():
         print("[train] no dataset_params.data_dir — using the synthetic dataset")
         from head_detector_tpu.train.dataset import SyntheticHeadsDataset
 
-        train_ds = SyntheticHeadsDataset(image_size=image_size, length=256)
-        val_ds = SyntheticHeadsDataset(image_size=image_size, length=32, seed=1)
+        render = bool(ds_cfg.get("render", False))
+        train_ds = SyntheticHeadsDataset(image_size=image_size, length=256, render=render)
+        val_ds = SyntheticHeadsDataset(image_size=image_size, length=32, seed=1, render=render)
 
     from head_detector_tpu.train.runner import Trainer
 
