@@ -176,12 +176,10 @@ def _bench_streaming() -> float:
 def main():
     import jax
 
-    # Persistent-cache note: executables DESERIALIZED from the cache run
-    # pathologically slow on the axon backend (measured 22 img/s vs 487
-    # freshly compiled) — enable the cache only for CPU runs.
-    if jax.default_backend() == "cpu":
-        jax.config.update("jax_compilation_cache_dir", "/tmp/hdt_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # NO persistent compilation cache here: deserialized executables run
+    # ~20x slow on the axon backend and CPU entries carry machine-feature
+    # mismatch (SIGILL) warnings. The benchmark always compiles fresh.
+    _ = jax  # backend selected by the environment
 
     if MODE == "latency":
         p50_ms = _bench_latency()
