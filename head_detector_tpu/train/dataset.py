@@ -225,6 +225,9 @@ class SyntheticHeadsDataset:
         self.seed = seed
         self.render = render
         self._render_assets = None
+        # samples are deterministic in (seed, index): cache rendered ones so
+        # epochs after the first don't re-rasterize on the accelerator
+        self._cache: dict = {}
 
     def __len__(self):
         return self.length
@@ -246,6 +249,14 @@ class SyntheticHeadsDataset:
         return self._render_assets
 
     def __getitem__(self, index: int) -> MeshEstimationSample:
+        if self.render and index in self._cache:
+            return self._cache[index]
+        sample = self._make_sample(index)
+        if self.render:
+            self._cache[index] = sample
+        return sample
+
+    def _make_sample(self, index: int) -> MeshEstimationSample:
         rng = np.random.RandomState(self.seed * 100003 + index)
         s = self.image_size
         n = rng.randint(1, self.max_heads + 1)
