@@ -54,7 +54,7 @@ def _bench_pipeline(mode: str) -> float:
     import jax
     import jax.numpy as jnp
 
-    from head_detector_tpu.flame import FlameModel, reproject_spatial_vertices
+    from head_detector_tpu.flame import FlameModel, fused_project_vertices
     from head_detector_tpu.ops.nms import batched_nms
 
     model, variables = _build_fused(jnp)
@@ -95,7 +95,7 @@ def _bench_pipeline(mode: str) -> float:
         )
         b, k, p = res.flame_params.shape
         flat = res.flame_params.reshape(b * k, p)
-        _, _, verts = reproject_spatial_vertices(flame, flat, to_2d=False)
+        _, verts = fused_project_vertices(flame, flat, to_2d=False)
         verts = verts.reshape(b, k, -1, 3)
 
         if mode == "crops":

@@ -19,7 +19,12 @@ from head_detector_tpu.head_info import (
     FlameParams,
     HeadMetadata,
 )
-from head_detector_tpu.flame import FlameModel, flame_vertices, reproject_spatial_vertices
+from head_detector_tpu.flame import (
+    FlameModel,
+    flame_vertices,
+    fused_project_vertices,
+    reproject_spatial_vertices,
+)
 
 __version__ = "0.1.0"
 
@@ -49,6 +54,7 @@ __all__ = [
     "HeadMetadata",
     "FlameModel",
     "flame_vertices",
+    "fused_project_vertices",
     "reproject_spatial_vertices",
     "HeadDetector",
     "PredictionResult",

@@ -37,7 +37,7 @@ import numpy as np
 from PIL import Image
 
 from head_detector_tpu.detection_result import PredictionResult
-from head_detector_tpu.flame import FlameModel, reproject_spatial_vertices
+from head_detector_tpu.flame import FlameModel, fused_project_vertices
 from head_detector_tpu.head_info import Bbox, FlameParams, HeadMetadata, RPY
 from head_detector_tpu.models import build_model, init_model
 from head_detector_tpu.ops.letterbox import letterbox
@@ -137,8 +137,9 @@ class HeadDetector:
             res.valid[0],
         )
 
-        # FLAME decode on the fixed-size kept set (ref detector.py:66)
-        _, R, verts = reproject_spatial_vertices(self._flame, params, to_2d=False)
+        # FLAME decode on the fixed-size kept set (ref detector.py:66);
+        # fused path: the 6DoF transform rides the skinning einsum.
+        R, verts = fused_project_vertices(self._flame, params, to_2d=False)
 
         # un-letterbox (ref detector.py:67-74): verts xy -= pad, all /= scale;
         # boxes clip to canvas, -= pad, /= scale.

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from head_detector_tpu.flame import FlameModel, reproject_spatial_vertices
+from head_detector_tpu.flame import FlameModel, fused_project_vertices
 from head_detector_tpu.models import build_model, init_model
 from head_detector_tpu.ops.nms import batched_nms
 
@@ -85,7 +85,7 @@ class StreamingDetector:
             )
             if decode_meshes:
                 b, k, p = res.flame_params.shape
-                _, _, verts = reproject_spatial_vertices(
+                _, verts = fused_project_vertices(
                     self.flame, res.flame_params.reshape(b * k, p), to_2d=False
                 )
                 verts = verts.reshape(b, k, -1, 3)

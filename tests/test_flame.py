@@ -133,6 +133,29 @@ def test_reproject_spatial_vertices(model, rng):
     np.testing.assert_allclose(np.asarray(proj), expected[..., :2], atol=1e-4)
 
 
+def test_fused_project_matches_reproject(model, rng):
+    """fused_project_vertices folds 6DoF+z-offset into skinning; values must
+    match the compose-after path up to float reassociation."""
+    from head_detector_tpu.flame import fused_project_vertices
+
+    n = 4
+    p = _random_params(rng, n)
+    packed = jnp.asarray(np.asarray(p.to_3dmm_tensor()))
+    _, R_ref, proj_ref = reproject_spatial_vertices(model, packed, to_2d=False)
+    R, proj = fused_project_vertices(model, packed, to_2d=False)
+    np.testing.assert_allclose(np.asarray(R), np.asarray(R_ref), atol=1e-6)
+    scale = np.abs(np.asarray(proj_ref)).max()
+    np.testing.assert_allclose(
+        np.asarray(proj), np.asarray(proj_ref), atol=1e-4 * max(scale, 1.0)
+    )
+
+    # leading-batch shape polymorphism + to_2d, like reproject
+    batched = packed.reshape(2, 2, -1)
+    R2, proj2 = fused_project_vertices(model, batched, to_2d=True)
+    assert proj2.shape == (2, 2, 5023, 2)
+    assert R2.shape == (4, 3, 3)
+
+
 def test_reproject_empty_batch(model):
     """Zero-detections short-circuit (ref flame.py:185-189) — shape-polymorphic here."""
     empty = jnp.zeros((0, NUM_FLAME_PARAMS))
