@@ -155,6 +155,16 @@ def test_fused_project_matches_reproject(model, rng):
     assert proj2.shape == (2, 2, 5023, 2)
     assert R2.shape == (4, 3, 3)
 
+    # subset_indexes parity with reproject
+    subset = jnp.asarray([0, 7, 511, 5022])
+    _, _, sub_ref = reproject_spatial_vertices(
+        model, packed, to_2d=False, subset_indexes=subset
+    )
+    _, sub = fused_project_vertices(model, packed, to_2d=False, subset_indexes=subset)
+    np.testing.assert_allclose(
+        np.asarray(sub), np.asarray(sub_ref), atol=1e-4 * max(scale, 1.0)
+    )
+
 
 def test_reproject_empty_batch(model):
     """Zero-detections short-circuit (ref flame.py:185-189) — shape-polymorphic here."""

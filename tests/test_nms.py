@@ -77,6 +77,10 @@ def test_nms_matches_reference(rng):
     order = np.argsort(-expected_scores, kind="stable")
     np.testing.assert_allclose(got_scores, expected_scores[order], atol=1e-6)
     np.testing.assert_allclose(got_boxes, expected_boxes[order], atol=1e-4)
+    # flame rows (selected via the one-hot matmul) must be the exact original rows
+    got_params = np.asarray(res.flame_params)[:nvalid]
+    expected_params = params[idx][keep][order]
+    np.testing.assert_array_equal(got_params, expected_params)
 
 
 def test_nms_no_detections(rng):
