@@ -40,6 +40,7 @@ from head_detector_tpu.detection_result import PredictionResult
 from head_detector_tpu.flame import FlameModel, fused_project_vertices
 from head_detector_tpu.head_info import Bbox, FlameParams, HeadMetadata, RPY
 from head_detector_tpu.models import build_model, init_model
+from head_detector_tpu.models.heads import globalize_flame
 from head_detector_tpu.ops.letterbox import letterbox
 from head_detector_tpu.ops.nms import batched_nms
 from head_detector_tpu.ops.rotation import rotation_mats_to_rpy
@@ -108,7 +109,11 @@ class HeadDetector:
 
             variables = fuse_qarepvgg(variables, get_arch(model))
         use_deploy = deploy or _is_deploy(variables.get("params", {}))
-        self._model = build_model(model, deploy=use_deploy, dtype=dtype)
+        # deferred FLAME globalisation: NMS selects anchor-local rows, then
+        # globalize_flame touches the ~100 kept rows instead of all 8400
+        self._model = build_model(
+            model, deploy=use_deploy, dtype=dtype, defer_globalization=True
+        )
         self._variables = variables
         self._detect = jax.jit(self._detect_fn)
 
@@ -120,7 +125,7 @@ class HeadDetector:
         pad: jnp.ndarray,  # [2] (left, top)
         scale: jnp.ndarray,  # scalar
     ):
-        decoded, _ = self._model.apply(self._variables, image, train=False)
+        decoded, raw = self._model.apply(self._variables, image, train=False)
         res = batched_nms(
             decoded.boxes_xyxy,
             decoded.scores,
@@ -130,10 +135,16 @@ class HeadDetector:
             pre_nms_max=self._pre_nms_max,
             post_nms_max=self._post_nms_max,
         )
+        selected = globalize_flame(
+            res.flame_params.astype(jnp.float32),
+            res.anchor_idx,
+            raw.anchor_points,
+            raw.stride_tensor,
+        )
         boxes, scores, params, valid = (
             res.boxes[0],
             res.scores[0],
-            res.flame_params[0],
+            selected[0],
             res.valid[0],
         )
 

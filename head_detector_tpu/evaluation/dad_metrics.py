@@ -141,11 +141,21 @@ def scale_gt_to_standard(
 
 @functools.lru_cache(maxsize=1)
 def get_68_landmark_indices() -> np.ndarray:
-    """68 landmark vertex indices.
+    """68 landmark vertex indices, in iBUG order.
 
-    Uses the real FLAME static/dynamic embedding when available at
-    ``HDT_FLAME_EMBEDDING_PATH`` (nearest-vertex of each barycentric point);
-    otherwise a deterministic spread over the face-region vertex subset.
+    Priority:
+
+    1. ``HDT_FLAME_EMBEDDING_PATH`` — the official FLAME static embedding
+       (nearest-vertex of each barycentric point; contour padded from the
+       face boundary).
+    2. The shipped ``flame_indices/landmarks_68.npy`` — a deterministic
+       iBUG-68 layout derived from the 191-keypoint semantic regions
+       (jaw/brows/nose/eyes/lips polylines) by ``tools/
+       derive_68_landmarks.py``; see that file for the per-group map and the
+       documented delta vs the official barycentric embedding (the
+       reference loads its embedding from a dataset server absent here —
+       ``evaluation/dad_utils.py:56-66``).
+    3. A uniform spread over the face-region subset (legacy fallback).
     """
     path = os.environ.get("HDT_FLAME_EMBEDDING_PATH")
     assets = load_flame_assets()
@@ -163,6 +173,12 @@ def get_68_landmark_indices() -> np.ndarray:
             np.linspace(0, len(assets.face_indices) - 1, 17).astype(int)
         ]
         return np.concatenate([contour, static]).astype(np.int64)
+    shipped = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "assets",
+        "flame_indices", "landmarks_68.npy",
+    )
+    if os.path.isfile(shipped):
+        return np.load(shipped).astype(np.int64)
     face = assets.face_indices
     return face[np.linspace(0, len(face) - 1, 68).astype(int)].astype(np.int64)
 

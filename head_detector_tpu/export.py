@@ -120,10 +120,18 @@ def fuse_qarepvgg(
 
 
 def build_deploy(
-    name_or_arch, variables: Dict[str, Any], dtype: Any = jnp.bfloat16
+    name_or_arch,
+    variables: Dict[str, Any],
+    dtype: Any = jnp.bfloat16,
+    defer_globalization: bool = False,
 ) -> Tuple[YoloHeads, Dict[str, Any]]:
     """Convenience: (deploy model, fused variables) from training variables."""
-    model = build_model(name_or_arch, deploy=True, dtype=dtype)
+    model = build_model(
+        name_or_arch,
+        deploy=True,
+        dtype=dtype,
+        defer_globalization=defer_globalization,
+    )
     fused = fuse_qarepvgg(variables, model.arch)
     return model, fused
 

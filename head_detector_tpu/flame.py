@@ -53,6 +53,12 @@ class FlameModel:
     lbs_weights: jnp.ndarray  # [V, J]
     parents: Tuple[int, ...]  # static python tuple — drives the unrolled chain
     faces: jnp.ndarray  # [F, 3] int32
+    # Optional precomputed joint regression (set by .subset()): joints are
+    # then computed directly from betas instead of from the shaped mesh, so
+    # per-vertex arrays may cover only a vertex subset while joints stay
+    # exactly those of the FULL mesh.
+    joint_template: Optional[jnp.ndarray] = None  # [J, 3]
+    joint_shapedirs: Optional[jnp.ndarray] = None  # [400, J*3]
 
     @classmethod
     def from_assets(cls, assets: Optional[FlameAssets] = None, dtype=jnp.float32) -> "FlameModel":
@@ -76,11 +82,63 @@ class FlameModel:
     def num_vertices(self) -> int:
         return self.v_template.shape[0]
 
+    def subset(self, indices) -> "FlameModel":
+        """Vertex-subset decode model: identical math on ``len(indices)``
+        vertices.
+
+        The LBS joints normally regress from the full shaped mesh
+        (``j_regressor @ v_shaped``); since ``v_shaped`` is affine in betas,
+        that regression folds into per-joint constants
+        (``joint_template = Jreg @ v_template``, ``joint_shapedirs = Jreg @
+        shapedirs``, both precomputed in f64) — so the subset decode
+        produces the joints of the full model to ~1e-7 (f32 reassociation
+        only) while every per-vertex array (template,
+        blendshapes, pose correctives, skinning weights) is sliced.  For the
+        reference's own metrics subset ("head", 2470 of 5023 verts — see
+        ``yolo_head_loss.py:309-320``) this halves the decode FLOPs and the
+        output bytes.  Faces are remapped to the subset (triangles fully
+        inside it), matching ``pncc_processor.py:25-29`` semantics.
+        """
+        idx = np.asarray(indices, np.int64)
+        v = self.num_vertices
+        nb = self.shapedirs_flat.shape[0]
+        sd3 = np.asarray(self.shapedirs_flat).reshape(nb, v, 3)
+        jreg = np.asarray(self.j_regressor, np.float64)
+        joint_template = jreg @ np.asarray(self.v_template, np.float64)  # [J, 3]
+        joint_shapedirs = np.einsum("jv,kvc->kjc", jreg, sd3.astype(np.float64))
+        nj = jreg.shape[0]
+
+        faces_np = np.asarray(self.faces)
+        inside = np.isin(faces_np, idx).all(axis=1)
+        remap = np.full(v, -1, np.int64)
+        remap[idx] = np.arange(idx.size)
+        sub_faces = remap[faces_np[inside]]
+
+        pd3 = np.asarray(self.posedirs).reshape(-1, v, 3)
+        return FlameModel(
+            v_template=jnp.asarray(np.asarray(self.v_template)[idx]),
+            shapedirs_flat=jnp.asarray(
+                np.ascontiguousarray(sd3[:, idx]).reshape(nb, idx.size * 3)
+            ),
+            posedirs=jnp.asarray(
+                np.ascontiguousarray(pd3[:, idx]).reshape(pd3.shape[0], idx.size * 3)
+            ),
+            j_regressor=jnp.asarray(np.asarray(self.j_regressor)[:, idx]),
+            lbs_weights=jnp.asarray(np.asarray(self.lbs_weights)[idx]),
+            parents=self.parents,
+            faces=jnp.asarray(sub_faces, jnp.int32),
+            joint_template=jnp.asarray(joint_template.astype(np.asarray(self.v_template).dtype)),
+            joint_shapedirs=jnp.asarray(
+                joint_shapedirs.reshape(nb, nj * 3).astype(np.asarray(self.v_template).dtype)
+            ),
+        )
+
 
 jax.tree_util.register_pytree_node(
     FlameModel,
     lambda m: (
-        (m.v_template, m.shapedirs_flat, m.posedirs, m.j_regressor, m.lbs_weights, m.faces),
+        (m.v_template, m.shapedirs_flat, m.posedirs, m.j_regressor, m.lbs_weights,
+         m.faces, m.joint_template, m.joint_shapedirs),
         m.parents,
     ),
     lambda parents, leaves: FlameModel(
@@ -91,6 +149,8 @@ jax.tree_util.register_pytree_node(
         lbs_weights=leaves[4],
         parents=parents,
         faces=leaves[5],
+        joint_template=leaves[6],
+        joint_shapedirs=leaves[7],
     ),
 )
 
@@ -170,8 +230,15 @@ def lbs(
     ).reshape(n, v, 3)
     v_shaped = model.v_template[None] + offsets
 
-    # 2. joints from the shaped mesh
-    joints = jnp.einsum("jv,nvc->njc", model.j_regressor, v_shaped, precision=_EXACT)
+    # 2. joints from the shaped mesh — or, on a vertex-subset model, directly
+    # from betas via the precomputed full-mesh joint regression (see .subset())
+    if model.joint_template is not None:
+        nj = model.joint_template.shape[0]
+        joints = model.joint_template[None] + jnp.dot(
+            betas.astype(dtype), model.joint_shapedirs, precision=_EXACT
+        ).reshape(n, nj, 3)
+    else:
+        joints = jnp.einsum("jv,nvc->njc", model.j_regressor, v_shaped, precision=_EXACT)
 
     # 3. pose correctives (explicit sizes keep zero-batch inputs legal)
     num_joints = full_pose.shape[-1] // 3

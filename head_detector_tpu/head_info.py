@@ -84,7 +84,7 @@ class FlameParams:
         total = sum(constants.values())
         if tensor_3dmm.shape[1] != total:
             raise ValueError(
-                f"Invalid number of parameters. Expected: {total}. Got: {tensor_3dmm.shape[1]}."
+                f"3DMM vector has {tensor_3dmm.shape[1]} parameters; expected {total}."
             )
         i = 0
         shape = tensor_3dmm[:, i : i + constants["shape"]]

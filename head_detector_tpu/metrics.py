@@ -8,10 +8,18 @@ rate folds as ``1 - (1 - fr) * acc``; RPY errors are per-axis MAE with
 +-360-degree wrapping, divided by accuracy.
 
 Distributed reduction: the reference uses torchmetrics' ``dist_reduce_fx=
-"sum"`` states synced by DDP.  Here states are plain floats; in multi-host
-evaluation sum them with ``jax.experimental.multihost_utils`` or a psum over
-a device mesh before ``compute()`` — states are pure sums so the reduction
-is exact.
+"sum"`` states synced by DDP (ref ``metrics/nme.py:56-58``).  Here every
+metric keeps its states as pure sums (declared in ``_STATE_FIELDS``); the
+equivalents of the DDP sync are:
+
+- ``metric.merge(other, ...)`` — host-side accumulation of per-shard
+  instances into one;
+- ``reduce_metrics_across_mesh(metrics, mesh)`` — an actual ``psum``
+  collective over a ``jax.sharding.Mesh``: one metric instance per mesh
+  device, state vectors stacked and all-reduced on device, global sums
+  written back so each instance's ``compute()`` returns the global value.
+
+Both are exact because the states are sums.
 """
 
 from __future__ import annotations
@@ -121,8 +129,62 @@ def rpy_from_flame_params(mm_params_row: np.ndarray) -> RPY:
     return rpy_from_rotation_mat(rot)
 
 
+def reduce_metrics_across_mesh(metrics, mesh, axis: str = "data") -> None:
+    """All-reduce metric states over a device mesh (DDP-sync equivalent).
+
+    ``metrics`` holds one instance of the SAME metric class per device of
+    ``mesh`` (each updated with its shard of the eval set).  The stacked
+    state vectors are placed one-row-per-device on the mesh and summed with
+    a ``jax.lax.psum`` collective; the global sums are written back into
+    every instance, so any of them computes the global metric.
+
+    Parity spec: torchmetrics ``dist_reduce_fx="sum"`` states, synced by
+    DDP at ``compute()`` (ref ``yolo_head_training/yolo_head/metrics/
+    nme.py:56-58``).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+
+    n = mesh.devices.size
+    if len(metrics) != n:
+        raise ValueError(f"need one metric per device: {len(metrics)} != {n}")
+    fields = metrics[0]._STATE_FIELDS
+    if any(m._STATE_FIELDS != fields for m in metrics):
+        raise ValueError("metrics must all be the same class")
+
+    local = np.asarray(
+        [[getattr(m, f) for f in fields] for m in metrics], np.float32
+    )
+    arr = jax.device_put(jnp.asarray(local), NamedSharding(mesh, P(axis)))
+    summed = jax.jit(
+        shard_map(
+            lambda x: jax.lax.psum(x, axis), mesh=mesh,
+            in_specs=P(axis), out_specs=P(),
+        )
+    )(arr)
+    totals = np.asarray(summed)[0]
+    for m in metrics:
+        for f, v in zip(fields, totals):
+            setattr(m, f, float(v))
+
+
 class _MatchedMetric:
     """Common update loop: decode -> Hungarian match -> per-TP accumulation."""
+
+    _STATE_FIELDS: Tuple[str, ...] = ("total", "total_tp")
+
+    def merge(self, *others: "_MatchedMetric") -> "_MatchedMetric":
+        """Host-side sum of per-shard metric states into ``self``."""
+        for other in others:
+            if other._STATE_FIELDS != self._STATE_FIELDS:
+                raise ValueError("cannot merge different metric classes")
+            for f in self._STATE_FIELDS:
+                setattr(self, f, getattr(self, f) + getattr(other, f))
+        return self
 
     def __init__(
         self,
@@ -162,6 +224,8 @@ class KeypointsNME(_MatchedMetric):
     """weight * mean-NME over TPs, divided by detection accuracy
     (ref nme.py:35-124)."""
 
+    _STATE_FIELDS = ("total", "total_tp", "nme")
+
     def __init__(self, post_prediction_callback, indexes_subset="head",
                  min_iou: float = 0.5, weight: int = 100):
         super().__init__(post_prediction_callback, indexes_subset, min_iou)
@@ -184,6 +248,8 @@ class KeypointsNME(_MatchedMetric):
 class KeypointsFailureRate(_MatchedMetric):
     """Share of TPs with NME > threshold*IOD, folded with accuracy
     (ref failure_rate.py:34-120)."""
+
+    _STATE_FIELDS = ("total", "total_tp", "failure_rate")
 
     def __init__(self, post_prediction_callback, indexes_subset="head",
                  min_iou: float = 0.5, threshold: float = 0.05, below: bool = True):
@@ -213,6 +279,8 @@ class KeypointsFailureRate(_MatchedMetric):
 class RPYError(_MatchedMetric):
     """Per-axis roll/pitch/yaw MAE with 360-wrap, divided by accuracy
     (ref rpy.py:19-133)."""
+
+    _STATE_FIELDS = ("total", "total_tp", "roll", "pitch", "yaw")
 
     def __init__(self, post_prediction_callback, min_iou: float = 0.5):
         super().__init__(post_prediction_callback, None, min_iou)

@@ -43,6 +43,7 @@ class YoloHeads(nn.Module):
     arch: ArchCfg
     deploy: bool = False
     dtype: Any = jnp.float32
+    defer_globalization: bool = False
 
     def setup(self):
         cfg = BlockCfg(
@@ -52,7 +53,12 @@ class YoloHeads(nn.Module):
         )
         self.backbone = NStageBackbone(self.arch, deploy=self.deploy, cfg=cfg)
         self.neck = YoloNASPANNeckWithC2(self.arch, deploy=self.deploy, cfg=cfg)
-        self.heads = YoloHeadsNDFLHeads(self.arch, deploy=self.deploy, cfg=cfg)
+        self.heads = YoloHeadsNDFLHeads(
+            self.arch,
+            deploy=self.deploy,
+            defer_globalization=self.defer_globalization,
+            cfg=cfg,
+        )
 
     def __call__(
         self, images: jnp.ndarray, train: bool = False
@@ -69,10 +75,18 @@ class YoloHeads(nn.Module):
 
 
 def build_model(
-    name_or_arch, deploy: bool = False, dtype: Any = jnp.float32
+    name_or_arch,
+    deploy: bool = False,
+    dtype: Any = jnp.float32,
+    defer_globalization: bool = False,
 ) -> YoloHeads:
     arch = name_or_arch if isinstance(name_or_arch, ArchCfg) else get_arch(name_or_arch)
-    return YoloHeads(arch=arch, deploy=deploy, dtype=dtype)
+    return YoloHeads(
+        arch=arch,
+        deploy=deploy,
+        dtype=dtype,
+        defer_globalization=defer_globalization,
+    )
 
 
 def calibrate_batch_stats(model: YoloHeads, variables: dict, sample: jnp.ndarray) -> dict:

@@ -30,6 +30,19 @@ class NMSResult(NamedTuple):
     scores: jnp.ndarray  # [K]
     flame_params: jnp.ndarray  # [K, P]
     valid: jnp.ndarray  # [K] bool
+    anchor_idx: jnp.ndarray  # [K] int32 index into the anchor axis (0 if invalid)
+
+
+class CompactDetections(NamedTuple):
+    """Batch detections packed into M slots, scores-descending (valid first)."""
+
+    boxes: jnp.ndarray  # [M, 4]
+    scores: jnp.ndarray  # [M]
+    flame_params: jnp.ndarray  # [M, P]
+    valid: jnp.ndarray  # [M] bool
+    anchor_idx: jnp.ndarray  # [M] int32
+    batch_idx: jnp.ndarray  # [M] int32 source image (0 if invalid)
+    slot_idx: jnp.ndarray  # [M] int32 source NMS slot (0 if invalid)
 
 
 def box_iou_xyxy(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -112,8 +125,10 @@ def single_image_nms(
     # The wide [A, P] flame rows are selected with a one-hot matmul instead of
     # a row gather: the MXU streams the params tensor once sequentially, where
     # the gather does random row access (measured 576 vs 548 img/s end-to-end
-    # on v5e for the L pipeline).  HIGHEST precision makes the 1.0/0.0 one-hot
-    # contraction bit-exact vs the gather (verified max|diff| = 0 on chip).
+    # on v5e for the L pipeline).  DEFAULT precision is bit-exact here for
+    # any input dtype: every product is 1.0*x or 0.0*x and the MXU
+    # accumulates in f32, so the single-pass contraction reproduces the
+    # gather exactly (asserted against the gather in tests/test_nms.py).
     final_idx = top_idx[sel]  # [post_nms_max] indices into the anchor axis
     onehot = (final_idx[:, None] == jnp.arange(num_anchors)[None, :]).astype(
         flame_params.dtype
@@ -122,7 +137,6 @@ def single_image_nms(
         onehot,
         flame_params,
         preferred_element_type=flame_params.dtype,
-        precision=jax.lax.Precision.HIGHEST,
     )
 
     return NMSResult(
@@ -130,6 +144,43 @@ def single_image_nms(
         scores=jnp.where(out_valid, top_scores[sel], 0.0),
         flame_params=jnp.where(out_valid[:, None], selected_flame, 0.0),
         valid=out_valid,
+        anchor_idx=jnp.where(out_valid, final_idx, 0).astype(jnp.int32),
+    )
+
+
+def compact_detections(res: NMSResult, max_total: int) -> CompactDetections:
+    """Pack a batch's valid detections into ``max_total`` flat slots.
+
+    Real images keep far fewer than B*post_nms_max detections; downstream
+    per-detection work (FLAME mesh decode, crops, rendering) over the dense
+    [B, K] grid wastes most of its FLOPs on masked-out slots.  This gathers
+    the top ``max_total`` slots batch-wide ordered (valid desc, score desc) —
+    a fixed-shape compaction, so consumers decode M rows instead of B*K.
+
+    Spec note: the reference consumes vertices strictly per-kept-head
+    (``head_detector/detector.py:61-90``), never densely — compaction changes
+    no observable result, only which slots get decoded.
+    """
+    b, k = res.scores.shape
+    # composite sort key: valid first, then score descending
+    key = jnp.where(res.valid.reshape(-1), res.scores.reshape(-1), -1.0)
+    m = min(max_total, b * k)
+    _, flat_idx = jax.lax.top_k(key, m)
+    batch_idx = (flat_idx // k).astype(jnp.int32)
+    slot_idx = (flat_idx % k).astype(jnp.int32)
+    valid = res.valid.reshape(-1)[flat_idx]
+
+    def pick(x):
+        return x.reshape((b * k,) + x.shape[2:])[flat_idx]
+
+    return CompactDetections(
+        boxes=pick(res.boxes),
+        scores=pick(res.scores),
+        flame_params=pick(res.flame_params),
+        valid=valid,
+        anchor_idx=pick(res.anchor_idx),
+        batch_idx=jnp.where(valid, batch_idx, 0),
+        slot_idx=jnp.where(valid, slot_idx, 0),
     )
 
 

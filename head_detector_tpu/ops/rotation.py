@@ -77,8 +77,19 @@ def _euler_xyz_extrinsic(R: jnp.ndarray) -> jnp.ndarray:
 
 
 def limit_angle(angle, pi: float = 180.0):
-    """Wrap an angle in degrees to (-pi, pi]. Reference ``utils.py:131-143``."""
-    return angle - jnp.floor((angle + pi) / (2 * pi)) * 2 * pi
+    """Wrap an angle in degrees to [-pi, pi], reference ``utils.py:131-143``
+    exactly — including its boundary quirks (multiples of +-pi map onto the
+    closed endpoints depending on sign, e.g. 540 -> -180 but -900 -> +180;
+    validated value-for-value in tests/test_reference_goldens.py).  The
+    reference computes integer correction factors via trunc-then-floor-div;
+    both branches are applied sequentially."""
+    a = jnp.asarray(angle)
+    t0 = jnp.trunc(a / pi)  # python int() truncates toward zero
+    k_neg = -2.0 * jnp.floor(t0 / 2.0)  # python // on ints floors
+    a1 = jnp.where(a < -pi, a + k_neg * pi, a)
+    t1 = jnp.trunc(a1 / pi)
+    k_pos = 2.0 * jnp.floor((t1 + 1.0) / 2.0)
+    return jnp.where(a1 > pi, a1 - k_pos * pi, a1)
 
 
 def rotation_mats_to_rpy(R: jnp.ndarray) -> jnp.ndarray:

@@ -42,6 +42,7 @@ class StreamingDetector:
         dtype: Any = jnp.bfloat16,
         prefetch: int = 3,
         workers: int = 8,
+        pipeline_depth: int = 2,
     ):
         if image_size % 32:
             raise ValueError("image_size must be a multiple of 32")
@@ -49,6 +50,7 @@ class StreamingDetector:
         self.batch_size = batch_size
         self.prefetch = prefetch
         self.workers = workers
+        self.pipeline_depth = max(1, pipeline_depth)
 
         devices = mesh.devices.reshape(-1) if mesh is not None else jax.devices()
         usable = max(d for d in range(1, len(devices) + 1) if batch_size % d == 0)
@@ -132,33 +134,77 @@ class StreamingDetector:
 
         threading.Thread(target=producer, daemon=True).start()
 
+        # Double-buffered dispatch: step t+1 is uploaded and dispatched
+        # BEFORE step t's (host-blocking) result materialisation, so the
+        # host->device copy of the next batch overlaps the device compute of
+        # the current one.  jax dispatch is async; the only blocking calls
+        # are the np.asarray() of finished steps.
+        import collections
+
+        pending: "collections.deque" = collections.deque()
         while True:
             item = q.get()
             if item is None:
-                return
+                break
             canvases, metas = item
             arr = jax.device_put(jnp.asarray(canvases), self._batch_sharding)
-            boxes, scores, valid, verts = self._step(arr)
-            # Small outputs come to host; the mesh tensor (e.g. 96 MB/batch at
-            # K=100) stays a device array — converting it here would serialise
-            # the pipeline on device->host bandwidth (through the axon relay
-            # that alone was measured to cap throughput at ~4 img/s @1024).
-            boxes, scores, valid = map(np.asarray, (boxes, scores, valid))
-            jax.block_until_ready(verts)
-            for i, scale in enumerate(metas):
-                yield {
-                    "boxes_xyxy": boxes[i],
-                    "scores": scores[i],
-                    "valid": valid[i],
-                    "vertices": verts[i] if verts.size else None,  # device array
-                    "scale": scale,
-                }
+            pending.append((self._step(arr), metas))
+            if len(pending) >= self.pipeline_depth:
+                yield from self._emit(*pending.popleft())
+        while pending:
+            yield from self._emit(*pending.popleft())
 
-    def throughput(self, num_images: int = 256, warmup_batches: int = 2) -> float:
-        """Images/sec on synthetic data (used by bench.py mode=streaming)."""
+    def _emit(self, outputs, metas) -> Iterator[dict]:
+        boxes, scores, valid, verts = outputs
+        # Small outputs come to host; the mesh tensor (e.g. 96 MB/batch at
+        # K=100) stays a device array — converting it here would serialise
+        # the pipeline on device->host bandwidth (through the axon relay
+        # that alone was measured to cap throughput at ~4 img/s @1024).
+        boxes, scores, valid = map(np.asarray, (boxes, scores, valid))
+        jax.block_until_ready(verts)
+        for i, scale in enumerate(metas):
+            yield {
+                "boxes_xyxy": boxes[i],
+                "scores": scores[i],
+                "valid": valid[i],
+                "vertices": verts[i] if verts.size else None,  # device array
+                "scale": scale,
+            }
+
+    def throughput(
+        self,
+        num_images: int = 256,
+        warmup_batches: int = 2,
+        device_feed: bool = False,
+    ) -> float:
+        """Images/sec on synthetic data (used by bench.py mode=streaming).
+
+        ``device_feed=True`` measures the pure device pipeline: one uint8
+        batch is pre-placed on the mesh and the jitted step runs back to
+        back with NO host uploads — the compute bound the host-fed number
+        converges to once I/O rides real PCIe instead of the dev relay.
+        """
         import time
 
         rng = np.random.RandomState(0)
+        if device_feed:
+            batch = rng.randint(
+                0, 255,
+                (self.batch_size, self.image_size, self.image_size, 3),
+                np.uint8,
+            )
+            arr = jax.device_put(jnp.asarray(batch), self._batch_sharding)
+            n_batches = max(1, num_images // self.batch_size)
+            for _ in range(max(warmup_batches, 1)):
+                out = self._step(arr)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(n_batches):
+                out = self._step(arr)
+            jax.block_until_ready(out)
+            dt = time.perf_counter() - t0
+            return n_batches * self.batch_size / dt
+
         imgs = [
             rng.randint(0, 255, (self.image_size, self.image_size, 3), np.uint8)
             for _ in range(num_images)

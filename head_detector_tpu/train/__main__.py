@@ -65,8 +65,20 @@ def main():
         from head_detector_tpu.train.dataset import SyntheticHeadsDataset
 
         render = bool(ds_cfg.get("render", False))
-        train_ds = SyntheticHeadsDataset(image_size=image_size, length=256, render=render)
-        val_ds = SyntheticHeadsDataset(image_size=image_size, length=32, seed=1, render=render)
+        max_heads = int(ds_cfg.get("max_heads", 3))
+        train_ds = SyntheticHeadsDataset(
+            image_size=image_size,
+            length=int(ds_cfg.get("train_length", 256)),
+            max_heads=max_heads,
+            render=render,
+        )
+        val_ds = SyntheticHeadsDataset(
+            image_size=image_size,
+            length=int(ds_cfg.get("val_length", 32)),
+            max_heads=max_heads,
+            seed=1,
+            render=render,
+        )
 
     from head_detector_tpu.train.runner import Trainer
 

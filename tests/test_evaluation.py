@@ -14,7 +14,9 @@ from head_detector_tpu.evaluation.detection_ap import coco_map
 from head_detector_tpu.metrics import (
     KeypointsFailureRate,
     KeypointsNME,
+    RPYError,
     match_head_boxes,
+    reduce_metrics_across_mesh,
 )
 
 
@@ -86,6 +88,97 @@ def test_rotation_angle_error_90deg():
     c, s = 0.0, 1.0
     rz = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])[None]
     assert rotation_angle_error_deg(rz, np.eye(3)[None]) == pytest.approx(90.0, abs=1e-3)
+
+
+def _apply_partial_updates(metric, shard_states):
+    """Write one shard's accumulated sum-states into a metric instance."""
+    for f, v in zip(metric._STATE_FIELDS, shard_states):
+        setattr(metric, f, float(v))
+    return metric
+
+
+@pytest.mark.parametrize(
+    "metric_ctor",
+    [
+        lambda: KeypointsNME(None, indexes_subset=None),
+        lambda: KeypointsFailureRate(None, indexes_subset=None),
+        lambda: RPYError(None),
+    ],
+)
+def test_metric_psum_reduction_matches_single_device(metric_ctor):
+    """Per-device partial states, psum-reduced over an 8-device mesh, must
+    equal a single instance that saw all the data (torchmetrics
+    dist_reduce_fx="sum" parity, ref metrics/nme.py:56-58)."""
+    import jax
+
+    from head_detector_tpu.train.trainer import make_data_mesh
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_data_mesh(devices[:8])
+
+    rng = np.random.RandomState(42)
+    n_fields = len(metric_ctor()._STATE_FIELDS)
+    # synthetic per-shard accumulations: total >= total_tp, all non-negative
+    shards = rng.rand(8, n_fields).astype(np.float32) * 10
+    shards[:, 0] = shards[:, 1] + rng.rand(8) * 5  # total >= total_tp
+
+    metrics = [
+        _apply_partial_updates(metric_ctor(), shards[i]) for i in range(8)
+    ]
+    reduce_metrics_across_mesh(metrics, mesh)
+
+    reference = _apply_partial_updates(metric_ctor(), shards.sum(axis=0))
+    ref_value = reference.compute()
+    for m in metrics:
+        got = m.compute()
+        if isinstance(got, dict):
+            for k in got:
+                assert got[k] == pytest.approx(ref_value[k], rel=1e-5)
+        else:
+            assert got == pytest.approx(ref_value, rel=1e-5)
+
+
+def test_metric_merge_host_side():
+    a = _apply_partial_updates(KeypointsNME(None, indexes_subset=None), [4.0, 2.0, 0.5])
+    b = _apply_partial_updates(KeypointsNME(None, indexes_subset=None), [6.0, 3.0, 0.7])
+    whole = _apply_partial_updates(
+        KeypointsNME(None, indexes_subset=None), [10.0, 5.0, 1.2]
+    )
+    a.merge(b)
+    assert a.compute() == pytest.approx(whole.compute(), rel=1e-6)
+
+
+def test_68_landmark_set_semantics():
+    """The shipped iBUG-68 vertex set: unique, reproducible from the
+    derivation tool, and semantically placed (eye corners straddle the nose,
+    subnasale between eyes and mouth, 7-lmk Procrustes subset distinct)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from derive_68_landmarks import ASSETS, derive
+
+    from head_detector_tpu.evaluation.dad_metrics import (
+        SEVEN_LMK_INDICES,
+        get_68_landmark_indices,
+    )
+
+    idx = get_68_landmark_indices()
+    assert idx.shape == (68,)
+    assert len(np.unique(idx)) == 68
+    np.testing.assert_array_equal(idx, derive())  # tool output == shipped asset
+
+    v = np.load(os.path.join(ASSETS, "v_template.npy"))
+    pts = v[idx]
+    # eye corners: 36 outer-left, 39 inner-left, 42 inner-right, 45 outer-right
+    assert pts[36, 0] < pts[39, 0] < 0 < pts[42, 0] < pts[45, 0]
+    # subnasale (33) sits below the eyes and above the mouth
+    assert pts[33, 1] < pts[39, 1] and pts[33, 1] > pts[48, 1]
+    # mouth corners straddle the center
+    assert pts[48, 0] < 0 < pts[54, 0]
+    assert len(np.unique(idx[SEVEN_LMK_INDICES])) == 7
 
 
 def test_match_head_boxes_hungarian():

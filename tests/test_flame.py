@@ -166,6 +166,41 @@ def test_fused_project_matches_reproject(model, rng):
     )
 
 
+def test_subset_model_matches_full_decode(model, rng):
+    """FlameModel.subset(idx): decode over a vertex subset must equal the
+    full-model decode sliced to the same indices (joints are regressed from
+    precomputed full-mesh constants — see subset() docstring)."""
+    from head_detector_tpu.assets_io import get_indices
+    from head_detector_tpu.flame import fused_project_vertices
+
+    n = 3
+    p = _random_params(rng, n)
+    packed = jnp.asarray(np.asarray(p.to_3dmm_tensor()))
+    head_idx = np.asarray(get_indices()["head"], np.int64)
+    sub_model = model.subset(head_idx)
+    assert sub_model.num_vertices == head_idx.size
+
+    _, full = fused_project_vertices(model, packed, to_2d=False)
+    _, sub = fused_project_vertices(sub_model, packed, to_2d=False)
+    ref = np.asarray(full)[:, head_idx]
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(sub), ref, atol=1e-4 * max(scale, 1.0))
+
+    # canonical-vertex path too (flame_vertices goes through lbs joints)
+    full_canon = flame_vertices(model, p, zero_rot=True)
+    sub_canon = flame_vertices(sub_model, p, zero_rot=True)
+    np.testing.assert_allclose(
+        np.asarray(sub_canon), np.asarray(full_canon)[:, head_idx], atol=1e-5
+    )
+
+    # remapped faces index only subset-local vertices and preserve topology
+    faces = np.asarray(sub_model.faces)
+    assert faces.min() >= 0 and faces.max() < head_idx.size
+    full_faces = np.asarray(model.faces)
+    inside = np.isin(full_faces, head_idx).all(axis=1)
+    assert faces.shape[0] == int(inside.sum())
+
+
 def test_reproject_empty_batch(model):
     """Zero-detections short-circuit (ref flame.py:185-189) — shape-polymorphic here."""
     empty = jnp.zeros((0, NUM_FLAME_PARAMS))

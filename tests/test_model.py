@@ -97,6 +97,50 @@ def test_decode_invariants(tiny_model):
     assert corr > 0.3, corr
 
 
+def test_deferred_globalization_bit_identical(tiny_model):
+    """select-then-globalize (deferred) == globalize-then-select (eager):
+    the same f32 ops run on the same values, so results are bit-identical."""
+    from head_detector_tpu.models import build_model
+    from head_detector_tpu.models.heads import globalize_flame
+    from head_detector_tpu.ops.nms import batched_nms
+
+    model, variables = tiny_model
+    deferred_model = build_model(TINY, defer_globalization=True)
+    x = jnp.asarray(np.random.RandomState(3).rand(2, 64, 64, 3), jnp.float32)
+
+    decoded, _ = model.apply(variables, x, train=False)
+    d_decoded, d_raw = deferred_model.apply(variables, x, train=False)
+
+    # deferred output is anchor-local: globalising the dense tensor must
+    # reproduce the eager decode exactly
+    a = decoded.flame_params.shape[1]
+    all_idx = jnp.broadcast_to(jnp.arange(a), (2, a))
+    densified = globalize_flame(
+        d_decoded.flame_params.astype(jnp.float32), all_idx,
+        d_raw.anchor_points, d_raw.stride_tensor,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(densified), np.asarray(decoded.flame_params)
+    )
+
+    # and through NMS: select-then-globalize == NMS over eager-globalized
+    kwargs = dict(confidence_threshold=0.0, pre_nms_max=64, post_nms_max=16)
+    res_eager = batched_nms(
+        decoded.boxes_xyxy, decoded.scores, decoded.flame_params, **kwargs
+    )
+    res_def = batched_nms(
+        d_decoded.boxes_xyxy, d_decoded.scores, d_decoded.flame_params, **kwargs
+    )
+    selected = globalize_flame(
+        res_def.flame_params.astype(jnp.float32), res_def.anchor_idx,
+        d_raw.anchor_points, d_raw.stride_tensor,
+    )
+    valid = np.asarray(res_eager.valid)
+    np.testing.assert_array_equal(
+        np.asarray(selected)[valid], np.asarray(res_eager.flame_params)[valid]
+    )
+
+
 def test_train_mode_updates_batch_stats(tiny_model):
     model, variables = tiny_model
     x = jnp.asarray(np.random.RandomState(1).rand(2, 64, 64, 3), jnp.float32)

@@ -117,6 +117,54 @@ def test_batched_nms_shapes(rng):
         assert np.all(sv >= 0.5)
 
 
+def test_nms_anchor_idx_points_at_source_rows(rng):
+    n = 120
+    boxes = _random_boxes(rng, n)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    params = rng.normal(size=(n, 9)).astype(np.float32)
+    res = single_image_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(params),
+        confidence_threshold=0.3, post_nms_max=32,
+    )
+    v = np.asarray(res.valid)
+    idx = np.asarray(res.anchor_idx)[v]
+    np.testing.assert_allclose(np.asarray(res.scores)[v], scores[idx], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(res.flame_params)[v], params[idx])
+
+
+def test_compact_detections_packs_valid_rows(rng):
+    from head_detector_tpu.ops.nms import compact_detections
+
+    b, a = 4, 200
+    boxes = np.stack([_random_boxes(rng, a) for _ in range(b)])
+    scores = rng.uniform(0, 1, (b, a)).astype(np.float32)
+    params = rng.normal(size=(b, a, 7)).astype(np.float32)
+    res = batched_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(params),
+        confidence_threshold=0.4, pre_nms_max=128, post_nms_max=32,
+    )
+    m = 16
+    cres = compact_detections(res, m)
+    assert cres.scores.shape == (m,)
+    assert cres.flame_params.shape == (m, 7)
+
+    v = np.asarray(res.valid)
+    s = np.asarray(res.scores)
+    n_valid = int(v.sum())
+    cv = np.asarray(cres.valid)
+    # packed slots are the global top-min(m, n_valid) valid detections
+    assert int(cv.sum()) == min(m, n_valid)
+    expected = np.sort(s[v])[::-1][: min(m, n_valid)]
+    np.testing.assert_allclose(np.asarray(cres.scores)[cv], expected, atol=1e-6)
+    # every packed row round-trips to its dense source slot
+    bi, si = np.asarray(cres.batch_idx), np.asarray(cres.slot_idx)
+    for j in np.flatnonzero(cv):
+        np.testing.assert_array_equal(
+            np.asarray(cres.flame_params)[j], np.asarray(res.flame_params)[bi[j], si[j]]
+        )
+        assert np.asarray(res.valid)[bi[j], si[j]]
+
+
 def test_iou_matrix(rng):
     a = _random_boxes(rng, 10)
     b = _random_boxes(rng, 7)
