@@ -43,7 +43,7 @@ BASELINE_FILE = os.path.join(
 )
 
 
-def _build_fused(jnp):
+def _build_fused(jnp, skip_flame: bool = False):
     import jax
 
     from head_detector_tpu.export import build_deploy
@@ -53,8 +53,12 @@ def _build_fused(jnp):
     variables = init_model(train_model, jax.random.PRNGKey(0), (SIZE, SIZE), batch=2)
     # deferred FLAME globalisation: the dense [B, A, 413] tensor stays in
     # bf16 anchor-local form; the ~K kept rows are globalised after NMS
-    # (bit-identical in f32, no dense f32 materialisation)
-    return build_deploy(MODEL, variables, defer_globalization=True)
+    # (bit-identical in f32, no dense f32 materialisation).  skip_flame
+    # additionally removes the six dense FLAME towers — the sparse path
+    # re-runs them post-NMS on patches at the kept anchors only.
+    return build_deploy(
+        MODEL, variables, defer_globalization=True, skip_flame=skip_flame
+    )
 
 
 def _bench_pipeline(mode: str) -> float:
@@ -64,9 +68,18 @@ def _bench_pipeline(mode: str) -> float:
     from head_detector_tpu.assets_io import get_indices
     from head_detector_tpu.flame import FlameModel, fused_project_vertices
     from head_detector_tpu.models.heads import globalize_flame
+    from head_detector_tpu.models.presets import get_arch
     from head_detector_tpu.ops.nms import batched_nms, compact_detections
+    from head_detector_tpu.ops.sparse_towers import sparse_flame_rows
 
-    model, variables = _build_fused(jnp)
+    # "sparse" (pipeline default): the dense forward skips the six FLAME
+    # towers entirely; post-NMS the towers run as patch convolutions at the
+    # compacted kept anchors only (exactness vs the dense rows is tested).
+    towers = os.environ.get(
+        "HDT_BENCH_TOWERS", "sparse" if MODE == "pipeline" else "dense"
+    )
+    model, variables = _build_fused(jnp, skip_flame=(towers == "sparse"))
+    arch = get_arch(MODEL)
     flame = FlameModel.from_assets(dtype=jnp.float32)
 
     # Default mesh output for the headline mode: the "head" vertex subset
@@ -109,7 +122,12 @@ def _bench_pipeline(mode: str) -> float:
     @jax.jit
     def step(images_u8):
         images = images_u8.astype(jnp.float32) / 255.0
-        decoded, raw = model.apply(variables, images, train=False)
+        if towers == "sparse":
+            decoded, raw, feats = model.apply(
+                variables, images, train=False, return_feats=True
+            )
+        else:
+            decoded, raw = model.apply(variables, images, train=False)
         res = batched_nms(
             decoded.boxes_xyxy,
             decoded.scores,
@@ -119,6 +137,24 @@ def _bench_pipeline(mode: str) -> float:
             pre_nms_max=1000,
             post_nms_max=100,
         )
+
+        if towers == "sparse":
+            # production-shaped decode: pack the valid detections batch-wide
+            # (budget = compact or 256 — >100x the measured density on this
+            # input), run the FLAME towers on 7x7 patches at those anchors,
+            # globalize, and mesh-decode only those rows.
+            m = compact or 256
+            cres = compact_detections(res, m)
+            rows = sparse_flame_rows(
+                variables, arch, feats,
+                cres.anchor_idx[None], batch_idx=cres.batch_idx[None],
+            )[0]
+            params = globalize_flame(
+                rows, cres.anchor_idx, raw.anchor_points, raw.stride_tensor
+            )
+            _, verts = fused_project_vertices(decode_flame, params, to_2d=False)
+            return (res.boxes, res.scores, res.valid, cres.batch_idx,
+                    cres.slot_idx, cres.valid, verts.astype(vdtype))
 
         if compact and mode == "pipeline":
             # decode only the top `compact` valid slots batch-wide instead of

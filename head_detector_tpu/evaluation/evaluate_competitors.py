@@ -43,6 +43,79 @@ def evaluate_external_detector(
     return result
 
 
+def load_img2pose_artifacts(weights_dir: str) -> dict:
+    """Parse the img2pose artifact set (formats per the reference
+    ``evaluate_fddb_i2p.py:45-61``): the 68-point 3D reference
+    (``reference_3d_68_points_trans.npy`` [68, 3]) and the WIDER pose
+    statistics (``WIDER_train_pose_{mean,stddev}_v1.npy`` [6]).  Shape
+    validation happens here so a wrong artifact fails loudly at load time
+    rather than as silent garbage poses."""
+    paths = {
+        "threed_68_points": os.path.join(
+            weights_dir, "reference_3d_68_points_trans.npy"
+        ),
+        "pose_mean": os.path.join(weights_dir, "WIDER_train_pose_mean_v1.npy"),
+        "pose_stddev": os.path.join(weights_dir, "WIDER_train_pose_stddev_v1.npy"),
+    }
+    out = {}
+    for key, path in paths.items():
+        if not os.path.isfile(path):
+            raise FileNotFoundError(f"img2pose artifact missing: {path}")
+        out[key] = np.load(path)
+    if out["threed_68_points"].shape != (68, 3):
+        raise ValueError(
+            f"reference_3d_68_points_trans.npy must be [68, 3], "
+            f"got {out['threed_68_points'].shape}"
+        )
+    for key in ("pose_mean", "pose_stddev"):
+        if out[key].reshape(-1).shape[0] != 6:
+            raise ValueError(f"{key} must hold 6 pose dims, got {out[key].shape}")
+    return out
+
+
+def make_img2pose_detector(weights_dir: str, conf_threshold: float = 0.5):
+    """img2pose baseline (ref ``evaluate_fddb_i2p.py:42-93``): artifacts are
+    parsed natively; the network itself needs the img2pose package + weights
+    (not hostable here)."""
+    artifacts = load_img2pose_artifacts(weights_dir)
+    try:
+        from img2pose import img2poseModel  # type: ignore
+        from model_loader import load_model  # type: ignore
+    except ImportError as e:
+        raise RuntimeError(
+            "img2pose is not installed; artifacts parsed OK "
+            f"({sorted(artifacts)}) — supply any detector callable to "
+            "evaluate_external_detector instead."
+        ) from e
+
+    model = img2poseModel(
+        18, 400, 1400,
+        pose_mean=artifacts["pose_mean"],
+        pose_stddev=artifacts["pose_stddev"],
+        threed_68_points=artifacts["threed_68_points"],
+    )
+    load_model(
+        model.fpn_model,
+        os.path.join(weights_dir, "img2pose_v1.pth"),
+        cpu_mode=str(model.device) == "cpu",
+        model_only=True,
+    )
+    model.evaluate()
+
+    def detect(image):
+        import torch
+        from PIL import Image
+
+        tensor = torch.from_numpy(image.transpose(2, 0, 1)).float() / 255.0
+        faces = model.predict([tensor])[0]
+        boxes = faces["boxes"].cpu().numpy().reshape(-1, 4)
+        scores = faces["scores"].cpu().numpy().reshape(-1)
+        keep = scores >= conf_threshold
+        return boxes[keep], scores[keep]
+
+    return detect
+
+
 def make_scrfd_detector():
     try:
         from insightface.app import FaceAnalysis
@@ -66,9 +139,13 @@ def make_scrfd_detector():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-dir", required=True)
-    ap.add_argument("--competitor", choices=["scrfd"], default="scrfd")
+    ap.add_argument("--competitor", choices=["scrfd", "img2pose"], default="scrfd")
+    ap.add_argument("--weights-dir", default=".", help="img2pose artifact dir")
     args = ap.parse_args()
-    detector = {"scrfd": make_scrfd_detector}[args.competitor]()
+    if args.competitor == "img2pose":
+        detector = make_img2pose_detector(args.weights_dir)
+    else:
+        detector = make_scrfd_detector()
     evaluate_external_detector(args.data_dir, detector)
 
 

@@ -124,6 +124,7 @@ def build_deploy(
     variables: Dict[str, Any],
     dtype: Any = jnp.bfloat16,
     defer_globalization: bool = False,
+    skip_flame: bool = False,
 ) -> Tuple[YoloHeads, Dict[str, Any]]:
     """Convenience: (deploy model, fused variables) from training variables."""
     model = build_model(
@@ -131,6 +132,7 @@ def build_deploy(
         deploy=True,
         dtype=dtype,
         defer_globalization=defer_globalization,
+        skip_flame=skip_flame,
     )
     fused = fuse_qarepvgg(variables, model.arch)
     return model, fused

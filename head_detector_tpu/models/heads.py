@@ -97,10 +97,16 @@ class FlameRegressionTower(nn.Module):
 
 
 class YoloHeadsDFLHead(nn.Module):
-    """Single-scale head. Input [B, H, W, C] -> (reg, cls, flame) NHWC maps."""
+    """Single-scale head. Input [B, H, W, C] -> (reg, cls, flame) NHWC maps.
+
+    ``skip_flame``: skip the six FLAME regression towers entirely and emit a
+    zero-width flame map — the sparse inference path (ops/sparse_towers.py)
+    re-runs the towers post-NMS on patches at the kept anchors only, so the
+    dense [B, A, 413] tensor is never computed."""
 
     head: HeadCfg
     deploy: bool = False
+    skip_flame: bool = False
     cfg: BlockCfg = BlockCfg()
 
     @nn.compact
@@ -123,7 +129,7 @@ class YoloHeadsDFLHead(nn.Module):
             stem = ConvBNAct(max_input, 1, cfg=self.cfg, name="stem")(x, train)
             pose_feat = stem
             bbox_feat = stem
-            if max_input != flame_ch:
+            if max_input != flame_ch and not self.skip_flame:
                 pose_feat = nn.Conv(
                     flame_ch, (1, 1), use_bias=False, dtype=self.cfg.dtype,
                     param_dtype=jnp.float32, name="pose_stem",
@@ -134,9 +140,10 @@ class YoloHeadsDFLHead(nn.Module):
                     param_dtype=jnp.float32, name="bbox_stem",
                 )(stem)
         else:
-            pose_feat = ConvBNAct(flame_ch, 1, cfg=self.cfg, name="pose_stem")(
-                x, train
-            )
+            if not self.skip_flame:
+                pose_feat = ConvBNAct(flame_ch, 1, cfg=self.cfg, name="pose_stem")(
+                    x, train
+                )
             bbox_feat = ConvBNAct(bbox_ch, 1, cfg=self.cfg, name="bbox_stem")(
                 x, train
             )
@@ -167,6 +174,11 @@ class YoloHeadsDFLHead(nn.Module):
             4 * (h.reg_max + 1), (1, 1), use_bias=True,
             dtype=self.cfg.dtype, param_dtype=jnp.float32, name="reg_pred",
         )(reg_feat)
+
+        if self.skip_flame:
+            b_, hh, ww, _ = x.shape
+            flame_empty = jnp.zeros((b_, hh, ww, 0), reg_out.dtype)
+            return reg_out, cls_out, flame_empty
 
         def tower(name, inter, out):
             return FlameRegressionTower(
@@ -283,6 +295,7 @@ class YoloHeadsNDFLHeads(nn.Module):
     arch: ArchCfg
     deploy: bool = False
     defer_globalization: bool = False
+    skip_flame: bool = False
     cfg: BlockCfg = BlockCfg()
 
     @nn.compact
@@ -302,7 +315,8 @@ class YoloHeadsNDFLHeads(nn.Module):
             _, h, w, _ = feat.shape
             feat_shapes.append((h, w))
             reg_out, cls_out, flame_out = YoloHeadsDFLHead(
-                hcfg, deploy=self.deploy, cfg=self.cfg, name=f"head{i + 1}"
+                hcfg, deploy=self.deploy, skip_flame=self.skip_flame,
+                cfg=self.cfg, name=f"head{i + 1}",
             )(feat, train)
             reg_list.append(reg_out.reshape(b, h * w, 4 * (reg_max + 1)))
             cls_list.append(cls_out.reshape(b, h * w, 1))
@@ -338,7 +352,7 @@ class YoloHeadsNDFLHeads(nn.Module):
         # FLAME globalisation on the packed vector (see module docstring).
         # When deferred, the dense [B, A, 413] tensor stays anchor-local in
         # model dtype; consumers NMS-select rows then call globalize_flame.
-        if not self.defer_globalization:
+        if not self.defer_globalization and flame.shape[-1]:
             centers = anchor_points * stride_tensor  # [A, 2] pixels
             flame = flame.astype(jnp.float32)
             flame = flame.at[

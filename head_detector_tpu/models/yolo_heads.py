@@ -44,6 +44,7 @@ class YoloHeads(nn.Module):
     deploy: bool = False
     dtype: Any = jnp.float32
     defer_globalization: bool = False
+    skip_flame: bool = False
 
     def setup(self):
         cfg = BlockCfg(
@@ -57,13 +58,17 @@ class YoloHeads(nn.Module):
             self.arch,
             deploy=self.deploy,
             defer_globalization=self.defer_globalization,
+            skip_flame=self.skip_flame,
             cfg=cfg,
         )
 
     def __call__(
-        self, images: jnp.ndarray, train: bool = False
-    ) -> Tuple[DecodedPredictions, RawOutputs]:
-        """:param images: [B, H, W, 3] float (0..1 range), H/W multiples of 32."""
+        self, images: jnp.ndarray, train: bool = False, return_feats: bool = False
+    ):
+        """:param images: [B, H, W, 3] float (0..1 range), H/W multiples of 32.
+        :param return_feats: additionally return the neck pyramid (p3, p4, p5)
+            — the inputs to the per-scale heads, consumed by the sparse
+            post-NMS FLAME-tower path (ops/sparse_towers.py)."""
         if images.shape[1] % 32 or images.shape[2] % 32:
             raise ValueError(
                 f"Input spatial dims must be divisible by 32, got {images.shape}"
@@ -71,7 +76,10 @@ class YoloHeads(nn.Module):
         x = images.astype(self.dtype)
         c2, c3, c4, c5 = self.backbone(x, train)
         p3, p4, p5 = self.neck([c2, c3, c4, c5], train)
-        return self.heads([p3, p4, p5], train)
+        decoded, raw = self.heads([p3, p4, p5], train)
+        if return_feats:
+            return decoded, raw, (p3, p4, p5)
+        return decoded, raw
 
 
 def build_model(
@@ -79,6 +87,7 @@ def build_model(
     deploy: bool = False,
     dtype: Any = jnp.float32,
     defer_globalization: bool = False,
+    skip_flame: bool = False,
 ) -> YoloHeads:
     arch = name_or_arch if isinstance(name_or_arch, ArchCfg) else get_arch(name_or_arch)
     return YoloHeads(
@@ -86,6 +95,7 @@ def build_model(
         deploy=deploy,
         dtype=dtype,
         defer_globalization=defer_globalization,
+        skip_flame=skip_flame,
     )
 
 

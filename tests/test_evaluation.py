@@ -150,6 +150,63 @@ def test_metric_merge_host_side():
     assert a.compute() == pytest.approx(whole.compute(), rel=1e-6)
 
 
+def test_competitor_protocol_with_mock_detector(tmp_path):
+    """The competitor-baseline protocol (ref evaluate_fddb_if/i2p) end to
+    end minus weights: FDDB label parsing, detector-callable contract, COCO
+    AP — a perfect mock detector must score AP 1.0."""
+    import cv2
+
+    from head_detector_tpu.evaluation.evaluate_competitors import (
+        evaluate_external_detector,
+    )
+
+    rng = np.random.RandomState(7)
+    img_dir = tmp_path / "images" / "d"
+    img_dir.mkdir(parents=True)
+    lines = []
+    truth = {}
+    for i in range(3):
+        name = f"d/{i}.jpg"
+        cv2.imwrite(str(tmp_path / "images" / name), rng.randint(0, 255, (60, 80, 3), np.uint8))
+        boxes = []
+        for _ in range(2):
+            x, y = rng.randint(0, 30, 2)
+            w, h = rng.randint(10, 25, 2)
+            boxes.append([x, y, x + w, y + h])
+        truth[name] = np.asarray(boxes, float)
+        lines.append(f"# {name}")
+        lines += [f"{b[0]} {b[1]} {b[2]} {b[3]}" for b in boxes]
+    (tmp_path / "label.txt").write_text("\n".join(lines) + "\n")
+
+    calls = {}
+
+    def perfect_detector(image):
+        key = image.shape  # all same-shape; track via call order instead
+        idx = calls.setdefault("n", 0)
+        calls["n"] = idx + 1
+        name = list(truth)[idx]
+        return truth[name], np.full(len(truth[name]), 0.9)
+
+    result = evaluate_external_detector(str(tmp_path), perfect_detector)
+    assert result["AP50"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_img2pose_artifact_parsing(tmp_path):
+    from head_detector_tpu.evaluation.evaluate_competitors import (
+        load_img2pose_artifacts,
+    )
+
+    np.save(tmp_path / "reference_3d_68_points_trans.npy", np.zeros((68, 3)))
+    np.save(tmp_path / "WIDER_train_pose_mean_v1.npy", np.zeros(6))
+    np.save(tmp_path / "WIDER_train_pose_stddev_v1.npy", np.ones(6))
+    arts = load_img2pose_artifacts(str(tmp_path))
+    assert arts["threed_68_points"].shape == (68, 3)
+
+    np.save(tmp_path / "WIDER_train_pose_mean_v1.npy", np.zeros(5))
+    with pytest.raises(ValueError):
+        load_img2pose_artifacts(str(tmp_path))
+
+
 def test_68_landmark_set_semantics():
     """The shipped iBUG-68 vertex set: unique, reproducible from the
     derivation tool, and semantically placed (eye corners straddle the nose,
