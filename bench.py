@@ -117,7 +117,7 @@ def _bench_pipeline(mode: str) -> float:
         )
 
     if mode == "crops":
-        from head_detector_tpu.ops.warp import scaled_crops_matmul
+        from head_detector_tpu.ops.warp import aligned_crops_matmul
 
     @jax.jit
     def step(images_u8):
@@ -173,24 +173,30 @@ def _bench_pipeline(mode: str) -> float:
             raw.anchor_points, raw.stride_tensor,
         )
         b, k, p = params.shape
-        _, verts = fused_project_vertices(
+        rot_mats, verts = fused_project_vertices(
             decode_flame, params.reshape(b * k, p), to_2d=False
         )
         verts = verts.reshape(b, k, -1, 3).astype(vdtype)
 
         if mode == "crops":
-            # config 3: 256px crops of EVERY detection.  NMS slots are
-            # ordered valid-first, so the first `kc` slots cover every valid
-            # detection up to kc per image — measured density on this input
-            # is ~0.06 valid/image (see BENCHMARKS.md), so kc=8 is a >100x
-            # margin, not a cap that drops work.  Crop compute runs for all
-            # kc slots (fixed shapes); validity is reported alongside.
-            # Separable matmul warp — the gather-based path measured 16 img/s.
+            # config 3: roll-ALIGNED 256px crops of EVERY detection.  NMS
+            # slots are ordered valid-first, so the first `kc` slots cover
+            # every valid detection up to kc per image — measured density on
+            # this input is ~0.06 valid/image (see BENCHMARKS.md), so kc=8 is
+            # a >100x margin, not a cap that drops work.  Alignment follows
+            # get_aligned_heads (detection_result.py): rotate by roll, gated
+            # on |yaw| < 60; here as the 3-shear batched-matmul rotation.
+            from head_detector_tpu.ops.rotation import rotation_mats_to_rpy
+
             kc = 8
             boxes = jnp.clip(res.boxes[:, :kc], 1.0, None)  # [B, kc, 4]
+            rpy = rotation_mats_to_rpy(rot_mats).reshape(b, k, 3)[:, :kc]
+            angles = jnp.where(jnp.abs(rpy[..., 2]) < 60.0, rpy[..., 0], 0.0)
             crops = jax.vmap(
-                lambda img, bxs: scaled_crops_matmul(img, bxs, out_size=256)
-            )(images, boxes)
+                lambda img, bxs, ang: aligned_crops_matmul(
+                    img, bxs, ang, out_size=256
+                )
+            )(images, boxes, angles)
             return res.boxes, res.scores, res.valid, verts, crops
 
         if mode == "pncc":
@@ -240,10 +246,13 @@ def _bench_pipeline(mode: str) -> float:
         def export_objs(out, it):
             boxes, scores, valid, verts, crops = out
             valid = np.asarray(valid)
-            verts_np = np.asarray(verts)
             n = 0
+            # transfer ONLY the valid rows (60 KB each): pulling the whole
+            # [B, K, V, 3] tensor is 386 MB/iteration through the dev relay
+            # and was measured to cap this config at ~3 img/s
             for b, k in zip(*np.nonzero(valid)):
-                saver(verts_np[b, k], os.path.join(objdir, f"i{it}_b{b}_k{k}.obj"))
+                row = np.asarray(verts[int(b), int(k)], np.float32)
+                saver(row, os.path.join(objdir, f"i{it}_b{b}_k{k}.obj"))
                 n += 1
             return n
 
@@ -275,7 +284,13 @@ def _bench_pipeline(mode: str) -> float:
 
 def _bench_latency() -> float:
     """p50 single-image end-to-end latency (ms) through the public
-    HeadDetector API — uint8 image in, HeadMetadata list out."""
+    HeadDetector API — uint8 image in, HeadMetadata list out.
+
+    ``HDT_BENCH_LAT=device`` measures the device program alone (letterboxed
+    tensor pre-staged, outputs block_until_ready'd but not downloaded): the
+    p50 a real TPU VM's PCIe-attached host approaches.  The default e2e
+    number on the dev harness is dominated by relay round trips (~6 MB of
+    vertex downloads per call)."""
     import numpy as np
 
     from head_detector_tpu.detector import HeadDetector
@@ -283,6 +298,31 @@ def _bench_latency() -> float:
     det = HeadDetector(model=MODEL, image_size=SIZE)
     rng = np.random.RandomState(0)
     image = rng.randint(0, 255, (480, SIZE, 3), dtype=np.uint8)
+
+    if os.environ.get("HDT_BENCH_LAT") == "device":
+        import jax
+        import jax.numpy as jnp
+
+        from head_detector_tpu.ops.letterbox import letterbox
+
+        img, (pad_l, pad_t), scale = letterbox(jnp.asarray(image), SIZE)
+        args = (
+            img,
+            jnp.float32(0.5),
+            jnp.asarray([pad_l, pad_t], jnp.float32),
+            jnp.float32(scale),
+        )
+        for _ in range(max(WARMUP, 2)):
+            out = det._detect(*args)
+        jax.block_until_ready(out)
+        times = []
+        for _ in range(max(ITERS, 50)):
+            t0 = time.perf_counter()
+            out = det._detect(*args)
+            jax.block_until_ready(out)
+            times.append((time.perf_counter() - t0) * 1000.0)
+        return float(np.percentile(times, 50))
+
     for _ in range(max(WARMUP, 2)):
         det(image, confidence_threshold=0.5)
     times = []
@@ -317,10 +357,14 @@ def main():
 
     if MODE == "latency":
         p50_ms = _bench_latency()
+        flavor = (
+            "device program" if os.environ.get("HDT_BENCH_LAT") == "device"
+            else "e2e HeadDetector"
+        )
         print(
             json.dumps(
                 {
-                    "metric": f"p50 single-image latency @{SIZE}px ({MODEL}, e2e HeadDetector)",
+                    "metric": f"p50 single-image latency @{SIZE}px ({MODEL}, {flavor})",
                     "value": round(p50_ms, 2),
                     "unit": "ms",
                     "vs_baseline": 1.0,

@@ -110,9 +110,23 @@ class HeadDetector:
             variables = fuse_qarepvgg(variables, get_arch(model))
         use_deploy = deploy or _is_deploy(variables.get("params", {}))
         # deferred FLAME globalisation: NMS selects anchor-local rows, then
-        # globalize_flame touches the ~100 kept rows instead of all 8400
+        # globalize_flame touches the ~100 kept rows instead of all 8400.
+        # With deploy weights the six FLAME towers are additionally removed
+        # from the dense forward and re-run post-NMS as patch convolutions at
+        # the kept anchors only (ops/sparse_towers.py; dense-row parity
+        # tested) — the sparse path needs the fused rbr_reparam layout.
+        self._sparse = use_deploy
+        self._arch = None
+        if self._sparse:
+            from head_detector_tpu.models.presets import get_arch
+
+            self._arch = get_arch(model)
         self._model = build_model(
-            model, deploy=use_deploy, dtype=dtype, defer_globalization=True
+            model,
+            deploy=use_deploy,
+            dtype=dtype,
+            defer_globalization=True,
+            skip_flame=self._sparse,
         )
         self._variables = variables
         self._detect = jax.jit(self._detect_fn)
@@ -125,7 +139,12 @@ class HeadDetector:
         pad: jnp.ndarray,  # [2] (left, top)
         scale: jnp.ndarray,  # scalar
     ):
-        decoded, raw = self._model.apply(self._variables, image, train=False)
+        if self._sparse:
+            decoded, raw, feats = self._model.apply(
+                self._variables, image, train=False, return_feats=True
+            )
+        else:
+            decoded, raw = self._model.apply(self._variables, image, train=False)
         res = batched_nms(
             decoded.boxes_xyxy,
             decoded.scores,
@@ -135,8 +154,16 @@ class HeadDetector:
             pre_nms_max=self._pre_nms_max,
             post_nms_max=self._post_nms_max,
         )
+        if self._sparse:
+            from head_detector_tpu.ops.sparse_towers import sparse_flame_rows
+
+            rows = sparse_flame_rows(
+                self._variables, self._arch, feats, res.anchor_idx
+            )
+        else:
+            rows = res.flame_params.astype(jnp.float32)
         selected = globalize_flame(
-            res.flame_params.astype(jnp.float32),
+            rows,
             res.anchor_idx,
             raw.anchor_points,
             raw.stride_tensor,

@@ -116,6 +116,100 @@ def scaled_crops_matmul(
     return jnp.einsum("njw,niwc->nijc", wx, rows)  # [N, S, S, C]
 
 
+def _shear_lines(img: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
+    """Fractionally translate each LINE of ``img`` by its own offset.
+
+    ``img`` is [N, L, S, C] (L independent lines of length S); line (n, l) is
+    resampled at source coordinate ``x + offsets[n, l]``, zero outside.  A
+    fractional 1-D translation has exactly two bilinear taps, so this is two
+    shifted ``take_along_axis`` reads and a lerp — O(S) per line instead of
+    the O(S^2) banded-matrix formulation (which materialises
+    [N, L, S, S] weights: 34 GB for 512 crops of 256px — measured 2.9 img/s;
+    this form restores crop throughput).
+    """
+    n, l, s, c = img.shape
+    lo = jnp.floor(offsets)  # [N, L]
+    frac = (offsets - lo)[:, :, None, None]  # [N, L, 1, 1]
+    base = jnp.arange(s)[None, None, :] + lo[:, :, None].astype(jnp.int32)  # [N, L, S]
+
+    def tap(idx):
+        ok = (idx >= 0) & (idx < s)
+        rows = jnp.take_along_axis(
+            img, jnp.clip(idx, 0, s - 1)[..., None], axis=2
+        )
+        return rows * ok[..., None].astype(img.dtype)
+
+    return tap(base) * (1.0 - frac) + tap(base + 1) * frac
+
+
+def rotate_crops_matmul(crops: jnp.ndarray, angles_deg: jnp.ndarray) -> jnp.ndarray:
+    """Rotate square crops about their centers with THREE SHEAR PASSES.
+
+    The classic three-shear decomposition
+    ``R(t) = ShearX(-tan(t/2)) . ShearY(sin t) . ShearX(-tan(t/2))`` turns a
+    rotation into three one-axis translations whose per-line offsets vary
+    linearly with the other coordinate.  Each fractional line translation is
+    a two-tap lerp of axis-shifted reads (see :func:`_shear_lines`) — three
+    cheap streaming passes, no scatter/gather of arbitrary 2-D coordinates.
+    Quality matches a direct bilinear rotation to ~1-2 gray levels away from
+    edges (three resamples vs one; tested against scipy.ndimage in
+    tests/test_warp.py).  Pixels rotated in from outside the crop are zero
+    (BORDER_CONSTANT), like the reference's ``cv2.warpAffine`` alignment
+    (utils.py:109-117).
+
+    :param crops: [N, S, S, C] float
+    :param angles_deg: [N] rotation angles (counter-clockwise, like
+        cv2.getRotationMatrix2D's convention)
+    :return: [N, S, S, C] rotated crops
+    """
+    n, s = crops.shape[0], crops.shape[1]
+    t = jnp.deg2rad(angles_deg.astype(jnp.float32))
+    c = (s - 1) / 2.0
+    rel = jnp.arange(s, dtype=jnp.float32) - c  # [S]
+
+    alpha = -jnp.tan(t / 2.0)  # x-shear factor (source offset per y)
+    beta = jnp.sin(t)  # y-shear factor (source offset per x)
+
+    def shear_x(img, factor):
+        # out[y, x] = in[y, x + factor*ry] — rows are the lines
+        offsets = factor[:, None] * rel[None, :]  # [N, S(y)]
+        return _shear_lines(img, offsets)
+
+    def shear_y(img, factor):
+        # out[y, x] = in[y + factor*rx, x] — columns are the lines
+        offsets = factor[:, None] * rel[None, :]  # [N, S(x)]
+        out = _shear_lines(jnp.swapaxes(img, 1, 2), offsets)
+        return jnp.swapaxes(out, 1, 2)
+
+    out = shear_x(crops.astype(jnp.float32), alpha)
+    out = shear_y(out, beta)
+    return shear_x(out, alpha)
+
+
+def aligned_crops_matmul(
+    image: jnp.ndarray,  # [H, W, C] float
+    boxes_xyxy: jnp.ndarray,  # [N, 4] traced
+    angles_deg: jnp.ndarray,  # [N] roll per box
+    out_size: int = 256,
+    margin: float = 1.5,
+) -> jnp.ndarray:
+    """Roll-aligned square crops, fully on device: an axis-aligned expanded
+    crop (x ``margin`` >= sqrt(2), two matmuls) followed by a three-shear
+    center rotation (three matmuls).  The device analogue of the reference's
+    ``vertically_align`` host path (cv2.getRotationMatrix2D + warpAffine,
+    ``head_detector/utils.py:93-117``): content inside the original box is
+    rotated by its roll angle and returned at ``out_size``.
+    """
+    cx = (boxes_xyxy[:, 0] + boxes_xyxy[:, 2]) / 2
+    cy = (boxes_xyxy[:, 1] + boxes_xyxy[:, 3]) / 2
+    half = jnp.maximum(
+        boxes_xyxy[:, 2] - boxes_xyxy[:, 0], boxes_xyxy[:, 3] - boxes_xyxy[:, 1]
+    ) * (margin / 2)
+    big = jnp.stack([cx - half, cy - half, cx + half, cy + half], axis=1)
+    expanded = scaled_crops_matmul(image, big, out_size=out_size)
+    return rotate_crops_matmul(expanded, angles_deg)
+
+
 def warp_like_cv2(
     image: np.ndarray, forward_mat: np.ndarray, dsize: Tuple[int, int]
 ) -> np.ndarray:

@@ -43,6 +43,9 @@ class StreamingDetector:
         prefetch: int = 3,
         workers: int = 8,
         pipeline_depth: int = 2,
+        decode_budget: int = 256,
+        mesh_subset: Optional[str] = "head",
+        verts_dtype: Any = jnp.bfloat16,
     ):
         if image_size % 32:
             raise ValueError("image_size must be a multiple of 32")
@@ -58,24 +61,64 @@ class StreamingDetector:
         self._batch_sharding = NamedSharding(self.mesh, P("data"))
         self._replicated = NamedSharding(self.mesh, P())
 
-        self.model = build_model(model_name, dtype=dtype)
         if variables is None and checkpoint:
             from head_detector_tpu.detector import load_variables
 
             variables = load_variables(checkpoint)
         if variables is None:
+            train_model = build_model(model_name, dtype=dtype)
             variables = init_model(
-                self.model, jax.random.PRNGKey(0), (image_size, image_size)
+                train_model, jax.random.PRNGKey(0), (image_size, image_size)
             )
+
+        # deploy-fuse + sparse FLAME towers: the dense forward carries no
+        # tower work; valid detections are packed batch-wide (decode_budget
+        # slots) and towers + mesh decode run only for those — identical
+        # rows to the dense head (tests/test_sparse_towers.py)
+        from head_detector_tpu.export import fuse_qarepvgg
+        from head_detector_tpu.models.presets import get_arch
+        from head_detector_tpu.ops.nms import compact_detections
+        from head_detector_tpu.ops.sparse_towers import sparse_flame_rows
+
+        def _is_deploy(tree) -> bool:
+            if isinstance(tree, dict):
+                return "rbr_reparam" in tree or any(
+                    _is_deploy(v) for v in tree.values()
+                )
+            return False
+
+        from head_detector_tpu.models.presets import ArchCfg
+
+        self.arch = (
+            model_name if isinstance(model_name, ArchCfg) else get_arch(model_name)
+        )
+        model_name = self.arch
+        if not _is_deploy(variables.get("params", {})):
+            variables = fuse_qarepvgg(variables, self.arch)
+        self.model = build_model(
+            model_name, deploy=True, dtype=dtype,
+            defer_globalization=True, skip_flame=True,
+        )
         self.variables = jax.device_put(variables, self._replicated)
         self.flame = FlameModel.from_assets()
+        decode_flame = self.flame
+        if mesh_subset:
+            from head_detector_tpu.assets_io import get_indices
+
+            decode_flame = self.flame.subset(get_indices()[mesh_subset])
+        self.decode_budget = decode_budget
 
         conf = confidence_threshold
         iou = iou_threshold
+        arch = self.arch
 
         def _step(images_u8):
+            from head_detector_tpu.models.heads import globalize_flame
+
             images = images_u8.astype(jnp.float32) / 255.0
-            decoded, _ = self.model.apply(self.variables, images, train=False)
+            decoded, raw, feats = self.model.apply(
+                self.variables, images, train=False, return_feats=True
+            )
             res = batched_nms(
                 decoded.boxes_xyxy,
                 decoded.scores,
@@ -86,14 +129,21 @@ class StreamingDetector:
                 post_nms_max=post_nms_max,
             )
             if decode_meshes:
-                b, k, p = res.flame_params.shape
-                _, verts = fused_project_vertices(
-                    self.flame, res.flame_params.reshape(b * k, p), to_2d=False
+                cres = compact_detections(res, decode_budget)
+                rows = sparse_flame_rows(
+                    self.variables, arch, feats,
+                    cres.anchor_idx[None], batch_idx=cres.batch_idx[None],
+                )[0]
+                params = globalize_flame(
+                    rows, cres.anchor_idx, raw.anchor_points, raw.stride_tensor
                 )
-                verts = verts.reshape(b, k, -1, 3)
-            else:
-                verts = jnp.zeros((res.boxes.shape[0], 0, 0, 3))
-            return res.boxes, res.scores, res.valid, verts
+                _, verts = fused_project_vertices(
+                    decode_flame, params, to_2d=False
+                )
+                verts = verts.astype(verts_dtype)
+                return (res.boxes, res.scores, res.valid,
+                        (cres.batch_idx, cres.slot_idx, cres.valid, verts))
+            return res.boxes, res.scores, res.valid, None
 
         self._step = jax.jit(_step)
 
@@ -155,19 +205,29 @@ class StreamingDetector:
             yield from self._emit(*pending.popleft())
 
     def _emit(self, outputs, metas) -> Iterator[dict]:
-        boxes, scores, valid, verts = outputs
-        # Small outputs come to host; the mesh tensor (e.g. 96 MB/batch at
-        # K=100) stays a device array — converting it here would serialise
-        # the pipeline on device->host bandwidth (through the axon relay
-        # that alone was measured to cap throughput at ~4 img/s @1024).
+        boxes, scores, valid, mesh = outputs
+        # Small outputs come to host; the packed mesh tensor stays a device
+        # array — converting it here would serialise the pipeline on
+        # device->host bandwidth (through the axon relay that alone was
+        # measured to cap throughput at ~4 img/s @1024).
         boxes, scores, valid = map(np.asarray, (boxes, scores, valid))
-        jax.block_until_ready(verts)
+        if mesh is not None:
+            batch_idx, slot_idx, mvalid, verts = mesh
+            batch_idx, slot_idx, mvalid = map(
+                np.asarray, (batch_idx, slot_idx, mvalid)
+            )
+            jax.block_until_ready(verts)
         for i, scale in enumerate(metas):
+            vertices = None
+            if mesh is not None:
+                rows = np.flatnonzero(mvalid & (batch_idx == i))
+                # {nms_slot: [V, 3] device array} for this image's detections
+                vertices = {int(slot_idx[j]): verts[j] for j in rows}
             yield {
                 "boxes_xyxy": boxes[i],
                 "scores": scores[i],
                 "valid": valid[i],
-                "vertices": verts[i] if verts.size else None,  # device array
+                "vertices": vertices,
                 "scale": scale,
             }
 

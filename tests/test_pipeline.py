@@ -37,7 +37,13 @@ def test_streaming_yields_per_image_results(streaming):
         assert r["boxes_xyxy"].shape == (10, 4)
         assert r["scores"].shape == (10,)
         assert r["valid"].shape == (10,)
-        assert r["vertices"].shape[0] == 10
+        # packed meshes: one [V, 3] device array per VALID detection slot
+        assert isinstance(r["vertices"], dict)
+        n_valid = int(r["valid"].sum())
+        assert len(r["vertices"]) == min(n_valid, streaming.decode_budget)
+        for slot, v in r["vertices"].items():
+            assert r["valid"][slot]
+            assert v.ndim == 2 and v.shape[1] == 3
         assert 0 < r["scale"] <= 1.6
 
 

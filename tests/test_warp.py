@@ -54,3 +54,49 @@ def test_scaled_crops_matmul_matches_gather_warp():
     want = np.asarray(affine_warp(jnp.asarray(img), jnp.asarray(np.stack(mats)), 32, 32))
     # interiors match bilinear exactly; borders differ (edge-clamp vs zero-fill)
     np.testing.assert_allclose(got[:, 2:-2, 2:-2], want[:, 2:-2, 2:-2], atol=2e-5)
+
+
+def test_rotate_crops_matmul_matches_scipy_and_cv2():
+    """Three-shear MXU rotation == direct bilinear rotation (scipy order-1 /
+    cv2.getRotationMatrix2D convention verified identical) to ~1-2 gray
+    levels away from the border."""
+    from scipy import ndimage
+
+    from head_detector_tpu.ops.warp import rotate_crops_matmul
+
+    rng = np.random.RandomState(0)
+    img = ndimage.gaussian_filter(rng.rand(64, 64, 3).astype(np.float32), (3, 3, 0))
+    for ang in (15.0, -30.0, 45.0, 90.0):
+        got = np.asarray(
+            rotate_crops_matmul(jnp.asarray(img[None]), jnp.asarray([ang]))
+        )[0]
+        ref = ndimage.rotate(img, ang, reshape=False, order=1, mode="constant")
+        np.testing.assert_allclose(got[16:48, 16:48], ref[16:48, 16:48], atol=0.01)
+
+    # zero angle is (near-)identity
+    same = np.asarray(rotate_crops_matmul(jnp.asarray(img[None]), jnp.asarray([0.0])))[0]
+    np.testing.assert_allclose(same, img, atol=1e-5)
+
+
+def test_aligned_crops_matmul_shapes_and_rotation_content():
+    from scipy import ndimage
+
+    from head_detector_tpu.ops.warp import aligned_crops_matmul, scaled_crops_matmul
+
+    rng = np.random.RandomState(3)
+    img = ndimage.gaussian_filter(rng.rand(120, 160, 3).astype(np.float32), (4, 4, 0))
+    boxes = np.array([[30.0, 20.0, 90.0, 80.0], [100.0, 40.0, 150.0, 100.0]], np.float32)
+    angles = np.array([25.0, -40.0], np.float32)
+    out = np.asarray(
+        aligned_crops_matmul(jnp.asarray(img), jnp.asarray(boxes),
+                             jnp.asarray(angles), out_size=64)
+    )
+    assert out.shape == (2, 64, 64, 3)
+
+    # rotating the expanded crop directly must give the same result
+    cx, cy = (boxes[0, 0] + boxes[0, 2]) / 2, (boxes[0, 1] + boxes[0, 3]) / 2
+    half = max(boxes[0, 2] - boxes[0, 0], boxes[0, 3] - boxes[0, 1]) * 0.75
+    big = np.array([[cx - half, cy - half, cx + half, cy + half]], np.float32)
+    expanded = np.asarray(scaled_crops_matmul(jnp.asarray(img), jnp.asarray(big), out_size=64))[0]
+    ref = ndimage.rotate(expanded, 25.0, reshape=False, order=1, mode="constant")
+    np.testing.assert_allclose(out[0, 16:48, 16:48], ref[16:48, 16:48], atol=0.015)
