@@ -168,6 +168,48 @@ def _bench_pipeline(mode: str) -> float:
             return (res.boxes, res.scores, res.valid, cres.batch_idx,
                     cres.slot_idx, cres.valid, verts.astype(vdtype))
 
+        if mode == "crops":
+            # config 3: roll-ALIGNED 256px crops + OBJ export of EVERY
+            # detection.  Valid detections are packed batch-wide
+            # (compact_detections, budget 64 — measured density on this
+            # input is ~0.06 valid/image, so >10x margin) and ONLY those
+            # rows get the full-mesh decode; the packed [M, V, 3] tensor is
+            # what the host downloads in ONE transfer for OBJ export (the
+            # previous per-row np.asarray() paid one dev-relay round trip
+            # per detection and capped this config at ~13 img/s).
+            # Alignment follows get_aligned_heads (detection_result.py):
+            # rotate by roll, gated on |yaw| < 60; here as the 3-shear
+            # batched-matmul rotation.
+            from head_detector_tpu.ops.rotation import rotation_mats_to_rpy
+
+            b, k = res.scores.shape
+            cres = compact_detections(res, 64)
+            cparams = globalize_flame(
+                cres.flame_params.astype(jnp.float32), cres.anchor_idx,
+                raw.anchor_points, raw.stride_tensor,
+            )
+            rot_mats, verts = fused_project_vertices(
+                decode_flame, cparams, to_2d=False
+            )  # [M, 3, 3], [M, V, 3] — packed valid-first
+            rpy = rotation_mats_to_rpy(rot_mats)  # [M, 3]
+            roll = jnp.where(jnp.abs(rpy[:, 2]) < 60.0, rpy[:, 0], 0.0)
+            # scatter packed roll angles back onto the dense [B, K] slots
+            # the warp consumes (invalid slots keep angle 0)
+            angles = (
+                jnp.zeros((b, k), jnp.float32)
+                .at[cres.batch_idx, cres.slot_idx]
+                .set(jnp.where(cres.valid, roll, 0.0))
+            )
+            kc = 8
+            boxes = jnp.clip(res.boxes[:, :kc], 1.0, None)  # [B, kc, 4]
+            crops = jax.vmap(
+                lambda img, bxs, ang: aligned_crops_matmul(
+                    img, bxs, ang, out_size=256
+                )
+            )(images, boxes, angles[:, :kc])
+            return (res.boxes, res.scores, res.valid, cres.valid,
+                    cres.batch_idx, cres.slot_idx, verts, crops)
+
         params = globalize_flame(
             res.flame_params.astype(jnp.float32), res.anchor_idx,
             raw.anchor_points, raw.stride_tensor,
@@ -177,27 +219,6 @@ def _bench_pipeline(mode: str) -> float:
             decode_flame, params.reshape(b * k, p), to_2d=False
         )
         verts = verts.reshape(b, k, -1, 3).astype(vdtype)
-
-        if mode == "crops":
-            # config 3: roll-ALIGNED 256px crops of EVERY detection.  NMS
-            # slots are ordered valid-first, so the first `kc` slots cover
-            # every valid detection up to kc per image — measured density on
-            # this input is ~0.06 valid/image (see BENCHMARKS.md), so kc=8 is
-            # a >100x margin, not a cap that drops work.  Alignment follows
-            # get_aligned_heads (detection_result.py): rotate by roll, gated
-            # on |yaw| < 60; here as the 3-shear batched-matmul rotation.
-            from head_detector_tpu.ops.rotation import rotation_mats_to_rpy
-
-            kc = 8
-            boxes = jnp.clip(res.boxes[:, :kc], 1.0, None)  # [B, kc, 4]
-            rpy = rotation_mats_to_rpy(rot_mats).reshape(b, k, 3)[:, :kc]
-            angles = jnp.where(jnp.abs(rpy[..., 2]) < 60.0, rpy[..., 0], 0.0)
-            crops = jax.vmap(
-                lambda img, bxs, ang: aligned_crops_matmul(
-                    img, bxs, ang, out_size=256
-                )
-            )(images, boxes, angles)
-            return res.boxes, res.scores, res.valid, verts, crops
 
         if mode == "pncc":
             # config 4: render ALL valid detections of every image, each head
@@ -244,16 +265,24 @@ def _bench_pipeline(mode: str) -> float:
         objdir = tempfile.mkdtemp(prefix="hdt_bench_obj_")
 
         def export_objs(out, it):
-            boxes, scores, valid, verts, crops = out
-            valid = np.asarray(valid)
-            n = 0
-            # transfer ONLY the valid rows (60 KB each): pulling the whole
-            # [B, K, V, 3] tensor is 386 MB/iteration through the dev relay
-            # and was measured to cap this config at ~3 img/s
-            for b, k in zip(*np.nonzero(valid)):
-                row = np.asarray(verts[int(b), int(k)], np.float32)
-                saver(row, os.path.join(objdir, f"i{it}_b{b}_k{k}.obj"))
-                n += 1
+            (boxes, scores, valid, cvalid, batch_idx, slot_idx,
+             verts, crops) = out
+            # compact slots are packed valid-first: ONE count transfer +
+            # ONE packed-vertex transfer per iteration (the previous
+            # per-row np.asarray paid a relay round trip per detection)
+            n = int(np.asarray(cvalid).sum())
+            if n == 0:
+                return 0
+            rows = np.asarray(verts[:n], np.float64)  # [n, V, 3]
+            bidx = np.asarray(batch_idx[:n])
+            sidx = np.asarray(slot_idx[:n])
+            saver.save_many(
+                rows,
+                [
+                    os.path.join(objdir, f"i{it}_b{bi}_k{si}.obj")
+                    for bi, si in zip(bidx, sidx)
+                ],
+            )
             return n
 
         for _ in range(WARMUP):

@@ -195,17 +195,23 @@ def rasterize_zbuffer(
     return canvas, hits
 
 
-def _use_pallas() -> bool:
-    """Pick the Mosaic kernel on real TPUs, the XLA fallback elsewhere.
-    Override with HDT_RASTERIZER=pallas|xla."""
+def _backend() -> str:
+    """Pick the raster backend: Mosaic kernel on real TPUs; on CPU hosts the
+    native C++ library (instant startup — no XLA compile) when it builds,
+    else the XLA fallback.  Override with HDT_RASTERIZER=pallas|xla|native.
+
+    All three agree pixel-for-pixel on the hit mask and to float rounding on
+    colors (tests/test_rasterize.py, tests/test_native.py)."""
     import os
 
     choice = os.environ.get("HDT_RASTERIZER", "auto")
-    if choice == "pallas":
-        return True
-    if choice == "xla":
-        return False
-    return jax.default_backend() not in ("cpu",)
+    if choice in ("pallas", "xla", "native"):
+        return choice
+    if jax.default_backend() not in ("cpu",):
+        return "pallas"
+    from head_detector_tpu import native
+
+    return "native" if native.available() else "xla"
 
 
 def rasterize(
@@ -226,20 +232,31 @@ def rasterize(
         assert height is not None and width is not None and channel is not None
         bg = np.zeros((height, width, channel), dtype=np.uint8)
 
-    if _use_pallas():
-        from head_detector_tpu.ops.rasterize_pallas import rasterize_zbuffer_pallas
+    backend = _backend()
+    if backend == "native":
+        from head_detector_tpu.native import rasterize_zbuffer_native
 
-        kernel = rasterize_zbuffer_pallas
+        canvas, hit = rasterize_zbuffer_native(
+            vertices, triangles, colors, height=height, width=width,
+            reverse=reverse,
+        )
     else:
-        kernel = rasterize_zbuffer
-    canvas, hit = kernel(
-        jnp.asarray(vertices, jnp.float32),
-        jnp.asarray(triangles, jnp.int32),
-        jnp.asarray(colors, jnp.float32),
-        height=height,
-        width=width,
-        reverse=reverse,
-    )
+        if backend == "pallas":
+            from head_detector_tpu.ops.rasterize_pallas import (
+                rasterize_zbuffer_pallas,
+            )
+
+            kernel = rasterize_zbuffer_pallas
+        else:
+            kernel = rasterize_zbuffer
+        canvas, hit = kernel(
+            jnp.asarray(vertices, jnp.float32),
+            jnp.asarray(triangles, jnp.int32),
+            jnp.asarray(colors, jnp.float32),
+            height=height,
+            width=width,
+            reverse=reverse,
+        )
     canvas = np.asarray(canvas)
     hit = np.asarray(hit)
     out = bg.copy()

@@ -11,11 +11,15 @@ queue, and arrays for step t+1 are uploaded while step t computes.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Any, Iterable, Iterator, List, Optional, Tuple
 
-import cv2
+try:  # host resize backend of choice; the native C++ letterbox covers
+    import cv2  # environments without OpenCV (tests/test_native.py parity)
+except ImportError:  # pragma: no cover
+    cv2 = None
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -150,6 +154,10 @@ class StreamingDetector:
     # ------------------------------------------------------------------ #
     def _letterbox_host(self, image: np.ndarray) -> Tuple[np.ndarray, float]:
         s = self.image_size
+        if cv2 is None or os.environ.get("HDT_LETTERBOX") == "native":
+            from head_detector_tpu.native import letterbox_native
+
+            return letterbox_native(image, s)
         h, w = image.shape[:2]
         scale = min(s / h, s / w)
         nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)

@@ -94,8 +94,16 @@ def _random_mesh(rng, n_verts, n_tris, size):
     return vertices, triangles, colors
 
 
+def _backends():
+    from head_detector_tpu import native
+
+    return ["xla", "native"] if native.available() else ["xla"]
+
+
+@pytest.mark.parametrize("backend", _backends())
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_rasterize_pixel_exact_vs_cpp_spec(seed):
+def test_rasterize_pixel_exact_vs_cpp_spec(seed, backend, monkeypatch):
+    monkeypatch.setenv("HDT_RASTERIZER", backend)
     rng = np.random.RandomState(seed)
     size = 48
     vertices, triangles, colors = _random_mesh(rng, 30, 40, size)
