@@ -4,7 +4,10 @@ Reference equivalents:
 * ``model.export(..., engine='torch')`` producing the ``.trcd`` TorchScript
   used by the HF checkpoints (``exportable_mesh_model.py:440-442``) — here
   :func:`export_serialized` emits a portable serialized StableHLO program via
-  ``jax.export`` (the TPU-native deployment artifact), and
+  ``jax.export`` (the TPU-native deployment artifact),
+  :func:`head_detector_tpu.torch_mirror.export_torchscript` traces a flax
+  checkpoint through the live-torch mirror into the same ``.trcd`` format the
+  reference publishes (tested parity: tests/test_torch_mirror.py), and
   :func:`save_variables` / :func:`load_variables` store weights as flax
   msgpack.
 * RepVGG-style structural reparameterization: the training-time QARepVGG
