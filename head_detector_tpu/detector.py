@@ -47,7 +47,24 @@ from head_detector_tpu.ops.rotation import rotation_mats_to_rpy
 
 
 def load_variables(path: str) -> Dict[str, Any]:
-    """Load a flax-msgpack checkpoint written by ``save_variables``."""
+    """Load a checkpoint: flax msgpack (``save_variables``) or, when the
+    path ends in ``.pth``/``.pt``/``.ckpt``, a torch/SuperGradients state
+    dict converted on the fly (``tools/convert_torch_checkpoint.py``) — so a
+    reference user's trained checkpoint plugs straight into
+    ``HeadDetector(checkpoint=...)``."""
+    if path.endswith((".pth", ".pt", ".ckpt")):
+        import os
+        import sys
+
+        import torch
+
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools"))
+        from convert_torch_checkpoint import convert
+
+        raw = torch.load(path, map_location="cpu", weights_only=False)
+        tree, _ = convert(raw if isinstance(raw, dict) else raw.state_dict())
+        return tree
     from flax import serialization
 
     with open(path, "rb") as f:

@@ -89,6 +89,13 @@ def build_model(
     defer_globalization: bool = False,
     skip_flame: bool = False,
 ) -> YoloHeads:
+    if isinstance(name_or_arch, str) and name_or_arch.lower() in (
+        "segformer", "segformeryoloheads", "segformer_b5_yolo"
+    ):
+        # reference `architecture: SegFormerYoloHeads` (configs/segformer.yaml)
+        from head_detector_tpu.models.segformer import SegFormerYoloHeads
+
+        return SegFormerYoloHeads(dtype=dtype)
     arch = name_or_arch if isinstance(name_or_arch, ArchCfg) else get_arch(name_or_arch)
     return YoloHeads(
         arch=arch,
@@ -111,14 +118,14 @@ def calibrate_batch_stats(model: YoloHeads, variables: dict, sample: jnp.ndarray
     """
     # a twin model whose BN momentum writes the batch statistics verbatim
     # (torch-convention momentum 1.0 == flax momentum 0.0); parameters and
-    # module tree are identical, so the variables pytree is shared.
+    # module tree are identical, so the variables pytree is shared.  flax
+    # modules are frozen dataclasses, so the twin is a field replacement —
+    # works for YoloHeads and the SegFormer variant alike (both read BN
+    # momentum from their ``arch`` donor).
     import dataclasses as _dc
 
-    twin = YoloHeads(
-        arch=_dc.replace(model.arch, bn_momentum=1.0),
-        deploy=model.deploy,
-        dtype=model.dtype,
-    )
+    arch = model.arch or get_arch("yolo_heads_l")
+    twin = model.clone(arch=_dc.replace(arch, bn_momentum=1.0))
 
     @jax.jit
     def _calibrate(variables, sample):

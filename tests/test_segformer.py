@@ -46,3 +46,18 @@ def test_segformer_spatial_reduction_shapes(seg_model):
     decoded, _ = model.apply(variables, x, train=False)
     a = 12 * 8 + 6 * 4 + 3 * 2
     assert decoded.boxes_xyxy.shape == (1, a, 4)
+
+
+def test_build_model_routes_segformer_and_calibrates():
+    """`architecture: segformer` (configs/segformer.yaml) resolves through
+    build_model to SegFormerYoloHeads, and init_model's BN calibration works
+    on the variant (model.clone twin with bn_momentum=1.0)."""
+    from head_detector_tpu.models import build_model, init_model
+
+    model = build_model("SegFormerYoloHeads")
+    assert isinstance(model, SegFormerYoloHeads)
+    tiny = model.clone(mit=TINY_MIT, arch=TINY)
+    variables = init_model(tiny, jax.random.PRNGKey(0), (64, 64), batch=1)
+    assert "batch_stats" in variables
+    decoded, _ = tiny.apply(variables, jnp.zeros((1, 64, 64, 3)), train=False)
+    assert bool(jnp.isfinite(decoded.scores).all())

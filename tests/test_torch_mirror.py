@@ -69,10 +69,7 @@ def mirror_and_flax():
     return mirror, model, tree, notes
 
 
-def test_converter_covers_full_flax_tree(mirror_and_flax):
-    """Every leaf of a freshly-initialised flax tree gets a converted value
-    with the right shape — no missing, no extras, none unmapped."""
-    mirror, model, tree, notes = mirror_and_flax
+def _assert_tree_coverage(model, tree, notes):
     init = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, SIZE, SIZE, 3)), train=False)
@@ -89,6 +86,22 @@ def test_converter_covers_full_flax_tree(mirror_and_flax):
         assert conv_map[k] == shape, f"shape mismatch at {k}"
     dropped = [n for n in notes if n.startswith("dropped")]
     assert not dropped, dropped[:8]
+
+
+def test_converter_covers_full_flax_tree(mirror_and_flax):
+    """Every leaf of a freshly-initialised flax tree gets a converted value
+    with the right shape — no missing, no extras, none unmapped."""
+    mirror, model, tree, notes = mirror_and_flax
+    _assert_tree_coverage(model, tree, notes)
+
+
+def test_converter_covers_flagship_l_tree():
+    """Structure-level coverage for the flagship L (exercises the
+    concat_intermediates CSP path and 3-block towers absent from N) —
+    eval_shape only, no forward."""
+    mirror = build_torch_mirror("yolo_heads_l")
+    tree, notes = convert(mirror.state_dict())
+    _assert_tree_coverage(build_model("yolo_heads_l"), tree, notes)
 
 
 def test_forward_parity_torch_to_flax(mirror_and_flax):
@@ -154,3 +167,20 @@ def test_torchscript_export_roundtrip(mirror_and_flax, tmp_path):
         np.asarray(decoded.boxes_xyxy), tb.numpy(), atol=2e-3, rtol=1e-4)
     np.testing.assert_allclose(
         np.asarray(decoded.flame_params), tf.numpy(), atol=2e-3, rtol=1e-3)
+
+
+def test_load_variables_accepts_torch_pth(mirror_and_flax, tmp_path):
+    """HeadDetector-style checkpoint loading converts .pth on the fly."""
+    mirror, model, tree, _ = mirror_and_flax
+    path = str(tmp_path / "ckpt_best.pth")
+    torch.save({"net": mirror.state_dict()}, path)
+
+    from head_detector_tpu.detector import load_variables
+
+    loaded = load_variables(path)
+    want = jax.tree_util.tree_flatten_with_path(tree)[0]
+    got = {jax.tree_util.keystr(k): v
+           for k, v in jax.tree_util.tree_flatten_with_path(loaded)[0]}
+    assert len(got) == len(want)
+    for k, v in want:
+        np.testing.assert_array_equal(got[jax.tree_util.keystr(k)], v)
