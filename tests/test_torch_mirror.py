@@ -184,3 +184,14 @@ def test_load_variables_accepts_torch_pth(mirror_and_flax, tmp_path):
     assert len(got) == len(want)
     for k, v in want:
         np.testing.assert_array_equal(got[jax.tree_util.keystr(k)], v)
+
+
+def test_layer_diff_tool_localizes_agreement():
+    """tools/layer_diff.py: every stage of the two frameworks agrees to
+    float rounding on the self-round-trip (the harness that localises any
+    divergence when a real reference checkpoint is converted)."""
+    from layer_diff import diff_report
+
+    diffs = diff_report(ARCH, size=SIZE, seed=0, print_fn=lambda *a: None)
+    for name, d in diffs.items():
+        assert d < 5e-3, f"stage {name} diverged: {d}"
