@@ -211,3 +211,26 @@ def test_key_matching_restore():
     assert matched == 1 and total == 2
     np.testing.assert_allclose(merged["x"]["kernel"], 1.0)  # matched
     np.testing.assert_allclose(merged["y"]["b"], 0.0)  # shape mismatch -> kept
+
+
+def test_check_dataset_sweep(flame):
+    """The check_dataset CLI helper (reference check_dataset.py parity):
+    clean synthetic samples pass; a corrupted sample is reported."""
+    from head_detector_tpu.train.check_dataset import check_dataset
+
+    ds = SyntheticHeadsDataset(flame, image_size=64, length=4, max_heads=2)
+    report = check_dataset(ds, limit=4)
+    assert report["checked"] == 4 and not report["problems"]
+
+    class Corrupt:
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            s = ds[0]
+            if len(s.bboxes_xywh):
+                s.bboxes_xywh[:, 2:] = 0.1  # area < 1
+            return s
+
+    report = check_dataset(Corrupt())
+    assert report["problems"], "corrupted bbox areas must be flagged"
