@@ -61,3 +61,38 @@ def test_build_model_routes_segformer_and_calibrates():
     assert "batch_stats" in variables
     decoded, _ = tiny.apply(variables, jnp.zeros((1, 64, 64, 3)), train=False)
     assert bool(jnp.isfinite(decoded.scores).all())
+
+
+def test_segformer_train_step_learns(seg_model):
+    """The SegFormer variant runs through the same train step as YoloHeads
+    (loss decreases on a single batch) — row §2.2/17 gradient evidence."""
+    from head_detector_tpu.flame import FlameModel
+    from head_detector_tpu.train import (
+        LossConfig,
+        TrainConfig,
+        create_train_state,
+        make_train_step,
+    )
+    from head_detector_tpu.train.dataset import (
+        SyntheticHeadsDataset,
+        collate_samples,
+    )
+
+    model, variables = seg_model
+    flame = FlameModel.from_assets()
+    tcfg = TrainConfig(max_steps=20, lr_warmup_steps=2, initial_lr=3e-3,
+                       ema=False)
+    lcfg = LossConfig(max_positives=16)
+    state = create_train_state(model, variables, tcfg)
+    step = jax.jit(make_train_step(model, flame, lcfg, tcfg))
+
+    ds = SyntheticHeadsDataset(flame, image_size=64, length=2, max_heads=1)
+    images, targets = collate_samples([ds[0], ds[1]], max_boxes=2)
+    imgs = jnp.asarray(images, jnp.float32) / 255.0
+
+    losses = []
+    for _ in range(10):
+        state, comps = step(state, imgs, targets)
+        losses.append(float(comps["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
