@@ -194,11 +194,14 @@ def _bench_pipeline(mode: str) -> float:
             rpy = rotation_mats_to_rpy(rot_mats)  # [M, 3]
             roll = jnp.where(jnp.abs(rpy[:, 2]) < 60.0, rpy[:, 0], 0.0)
             # scatter packed roll angles back onto the dense [B, K] slots
-            # the warp consumes (invalid slots keep angle 0)
+            # the warp consumes.  Invalid compact rows carry batch_idx ==
+            # slot_idx == 0 — route them out of bounds and drop, so they
+            # cannot clobber a real detection living at slot (0, 0).
+            bi = jnp.where(cres.valid, cres.batch_idx, b)
             angles = (
                 jnp.zeros((b, k), jnp.float32)
-                .at[cres.batch_idx, cres.slot_idx]
-                .set(jnp.where(cres.valid, roll, 0.0))
+                .at[bi, cres.slot_idx]
+                .set(roll, mode="drop")
             )
             kc = 8
             boxes = jnp.clip(res.boxes[:, :kc], 1.0, None)  # [B, kc, 4]
