@@ -1,0 +1,119 @@
+"""Evaluate a saved training checkpoint (raw and/or EMA params) on the
+rendered-synthetic val protocol.
+
+The trainer validates with EMA params when EMA is on — the reference ships
+EMA weights (vgg_head_train_params.yaml:41-45) so that is the protocol of
+record.  But the reference's decay (0.9997) assumes ~50-epoch runs; on a
+short campaign the EMA average still carries early-training weights long
+after the raw parameters have become useful.  This tool scores BOTH
+parameter sets from any saved step so the learning curve of the underlying
+model is visible alongside the EMA-lagged metric of record.
+
+Usage::
+
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/eval_checkpoint.py \
+        --ckpt-dir runs/campaign/synthetic_campaign [--step 1024] \
+        [--image-size 320] [--val-length 64] [--max-heads 3] [--which both]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def evaluate(variables, model, flame, dataset, batch_size=16, max_boxes=8):
+    import jax
+    import jax.numpy as jnp
+
+    from head_detector_tpu.metrics import (
+        KeypointsFailureRate,
+        KeypointsNME,
+        RPYError,
+    )
+    from head_detector_tpu.post_prediction import YoloHeadsPostPredictionCallback
+    from head_detector_tpu.train.runner import _Prefetcher, _targets_to_samples
+
+    callback = YoloHeadsPostPredictionCallback(
+        flame_model=flame,
+        confidence_threshold=0.5,
+        nms_iou_threshold=0.7,
+        pre_nms_max_predictions=300,
+        post_nms_max_predictions=30,
+    )
+    metrics = {
+        "KeypointsNME": KeypointsNME(callback, indexes_subset="head"),
+        "KeypointsFailureRate": KeypointsFailureRate(callback, indexes_subset="head"),
+        "RPYError": RPYError(callback),
+    }
+    forward = jax.jit(lambda v, x: model.apply(v, x, train=False)[0])
+    loader = _Prefetcher(dataset, batch_size, max_boxes, num_workers=4, seed=0)
+    n_images = 0
+    for images, targets in loader:
+        decoded = forward(variables, jnp.asarray(images, jnp.float32) / 255.0)
+        gt_samples = _targets_to_samples(images, targets)
+        n_images += len(gt_samples)
+        for m in metrics.values():
+            m.update(decoded, gt_samples)
+    out = {}
+    for name, m in metrics.items():
+        val = m.compute()
+        if isinstance(val, dict):
+            out.update({k: float(v) for k, v in val.items()})
+        else:
+            out[name] = float(val)
+    out["images"] = n_images
+    return out
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--ckpt-dir", required=True)
+    ap.add_argument("--step", type=int, default=None, help="default: latest")
+    ap.add_argument("--arch", default="yolo_heads_n")
+    ap.add_argument("--image-size", type=int, default=320)
+    ap.add_argument("--val-length", type=int, default=64)
+    ap.add_argument("--max-heads", type=int, default=3)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--which", choices=["raw", "ema", "both"], default="both")
+    args = ap.parse_args(argv)
+
+    import orbax.checkpoint as ocp
+
+    from head_detector_tpu.flame import FlameModel
+    from head_detector_tpu.models import build_model
+    from head_detector_tpu.train.dataset import SyntheticHeadsDataset
+
+    args.ckpt_dir = os.path.abspath(args.ckpt_dir)  # orbax requires absolute
+    steps = sorted(int(d) for d in os.listdir(args.ckpt_dir) if d.isdigit())
+    step = args.step if args.step is not None else steps[-1]
+    restored = ocp.PyTreeCheckpointer().restore(
+        os.path.join(args.ckpt_dir, str(step), "default")
+    )
+
+    model = build_model(args.arch)
+    flame = FlameModel.from_assets()
+    # the held-out val renders: same generator/seed convention as the
+    # trainer CLI (train/__main__.py) — seed offset 1 from the train set
+    dataset = SyntheticHeadsDataset(
+        flame, image_size=args.image_size, length=args.val_length,
+        max_heads=args.max_heads, seed=1, render=True,
+    )
+
+    which = (["raw", "ema"] if args.which == "both" else [args.which])
+    for kind in which:
+        params = restored["params"] if kind == "raw" else restored["ema_params"]
+        variables = {"params": params, "batch_stats": restored["batch_stats"]}
+        result = evaluate(variables, model, flame, dataset,
+                          batch_size=args.batch_size)
+        print(f"[step {step}] {kind}: {result}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
