@@ -318,7 +318,8 @@ class SyntheticHeadsDataset:
 
 
 def collate_samples(
-    samples: Sequence[MeshEstimationSample], max_boxes: int
+    samples: Sequence[MeshEstimationSample], max_boxes: int,
+    wire_dtype=None,
 ) -> Tuple[np.ndarray, Targets]:
     """Stack images and pad per-image GT to ``max_boxes`` -> (images, Targets).
 
@@ -326,6 +327,10 @@ def collate_samples(
     unpadding round trip (``vgg_head_collate_fn.py`` +
     ``yolo_head_loss.py:_unpack_flat_targets``): targets leave the host
     already in the fixed-shape layout the jitted loss consumes.
+
+    ``wire_dtype`` (e.g. ``np.float16``): transfer dtype for the two large
+    GT vertex tensors; the train step restores f32 on device (compact wire
+    format — see trainer.make_train_step).
     """
     b = len(samples)
     k = samples[0].vertices_2d.shape[1] if len(samples[0].vertices_2d) else 5023
@@ -352,6 +357,9 @@ def collate_samples(
         gt_rot[i, :n] = s.rotation_matrix[:n]
         mask[i, :n] = 1.0
 
+    if wire_dtype is not None:
+        gt_v2d = gt_v2d.astype(wire_dtype)
+        gt_v3d = gt_v3d.astype(wire_dtype)
     targets = Targets(
         gt_bboxes=jnp.asarray(gt_bboxes),
         gt_vertices_2d=jnp.asarray(gt_v2d),

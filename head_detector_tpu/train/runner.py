@@ -51,6 +51,10 @@ class RunConfig:
     metric_to_watch: str = "KeypointsNME"
     greater_metric_to_watch_is_better: bool = False
     log_every: int = 50
+    # compact wire format: uint8 images + f16 GT vertex transfer, restored
+    # to f32 on device inside the train step (~4x less host->device traffic;
+    # also bounds the axon dev relay's per-upload host-RSS leak)
+    compact_wire: bool = True
     log_dir: Optional[str] = None  # TensorBoard scalars + extreme-batch panels
     visualization_frequency_epochs: int = 2
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
@@ -61,13 +65,15 @@ class _Prefetcher:
     """Thread-pool sample loader + collate (the DataLoader-worker analogue)."""
 
     def __init__(self, dataset, batch_size: int, max_boxes: int,
-                 num_workers: int = 4, seed: int = 0, drop_last: bool = True):
+                 num_workers: int = 4, seed: int = 0, drop_last: bool = True,
+                 wire_dtype=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.max_boxes = max_boxes
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.drop_last = drop_last
+        self.wire_dtype = wire_dtype
 
     def __iter__(self):
         order = np.random.RandomState(self.seed).permutation(len(self.dataset))
@@ -81,7 +87,8 @@ class _Prefetcher:
                 for b in range(n_batches):
                     idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
                     samples = list(pool.map(self.dataset.__getitem__, idxs))
-                    q.put(collate_samples(samples, self.max_boxes))
+                    q.put(collate_samples(samples, self.max_boxes,
+                                          wire_dtype=self.wire_dtype))
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -264,13 +271,17 @@ class Trainer:
             loader = _Prefetcher(
                 self.train_dataset, cfg.batch_size, cfg.max_gt_boxes,
                 cfg.num_workers, seed=epoch,
+                wire_dtype=np.float16 if cfg.compact_wire else None,
             )
             t0 = time.time()
             seen = 0
             for bi, (images, targets) in enumerate(loader):
                 import jax.numpy as jnp
 
-                imgs = jnp.asarray(images, jnp.float32) / 255.0
+                if cfg.compact_wire:
+                    imgs = jnp.asarray(images)  # uint8; /255 happens on device
+                else:
+                    imgs = jnp.asarray(images, jnp.float32) / 255.0
                 self.state, comps = self.step_fn(self.state, imgs, targets)
                 seen += images.shape[0]
                 if (bi + 1) % cfg.log_every == 0:

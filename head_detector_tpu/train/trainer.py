@@ -148,6 +148,19 @@ def make_train_step(
         return total, (components, mutated["batch_stats"])
 
     def train_step(state: TrainState, images: jnp.ndarray, targets: Targets):
+        # Compact wire format: callers may ship images as uint8 and the two
+        # large GT vertex tensors as float16, restored to f32 here ON DEVICE.
+        # This cuts host->device bytes ~4x — the math below is identical.
+        # (Motivation: the axon dev relay leaks every upload's size in host
+        # RSS, so long campaigns are bounded by bytes uploaded; on real
+        # hardware the same change is simply less PCIe traffic.)
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
+        if targets.gt_vertices_3d.dtype != jnp.float32:
+            targets = targets._replace(
+                gt_vertices_2d=targets.gt_vertices_2d.astype(jnp.float32),
+                gt_vertices_3d=targets.gt_vertices_3d.astype(jnp.float32),
+            )
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (components, new_bs)), grads = grad_fn(
             state.params, state.batch_stats, images, targets

@@ -234,3 +234,29 @@ def test_check_dataset_sweep(flame):
 
     report = check_dataset(Corrupt())
     assert report["problems"], "corrupted bbox areas must be flagged"
+
+
+def test_compact_wire_matches_full_precision(flame):
+    """uint8-image + f16-vertex wire format: the train step restores f32 on
+    device; loss must match the full-f32 wire to GT-quantization tolerance."""
+    model = build_model(TINY)
+    variables = init_model(model, jax.random.PRNGKey(0), (64, 64))
+    tcfg = TrainConfig(max_steps=10, lr_warmup_steps=2, ema=False)
+    lcfg = LossConfig(max_positives=16)
+    step = jax.jit(make_train_step(model, flame, lcfg, tcfg))
+
+    ds = SyntheticHeadsDataset(flame, image_size=64, length=2, max_heads=1)
+    samples = [ds[0], ds[1]]
+    images_f, targets_f = collate_samples(samples, max_boxes=2)
+    images_c, targets_c = collate_samples(samples, max_boxes=2,
+                                          wire_dtype=np.float16)
+
+    s1 = create_train_state(model, variables, tcfg)
+    s2 = create_train_state(model, variables, tcfg)
+    _, comps_full = step(s1, jnp.asarray(images_f, jnp.float32) / 255.0,
+                         targets_f)
+    _, comps_compact = step(s2, jnp.asarray(images_c), targets_c)
+
+    lf, lc = float(comps_full["loss"]), float(comps_compact["loss"])
+    assert np.isfinite(lc)
+    assert abs(lf - lc) < 0.02 * max(abs(lf), 1.0), (lf, lc)
