@@ -210,8 +210,15 @@ def _bench_pipeline(mode: str) -> float:
                     img, bxs, ang, out_size=256
                 )
             )(images, boxes, angles[:, :kc])
-            return (res.boxes, res.scores, res.valid, cres.valid,
-                    cres.batch_idx, cres.slot_idx, verts, crops)
+            # one small metadata tensor -> ONE host transfer beside the
+            # packed verts (every blocking D2H is a ~0.5 s relay round trip
+            # on the dev harness)
+            meta = jnp.stack([
+                cres.batch_idx.astype(jnp.int32),
+                cres.slot_idx.astype(jnp.int32),
+                cres.valid.astype(jnp.int32),
+            ])
+            return res.boxes, res.scores, res.valid, meta, verts, crops
 
         params = globalize_flame(
             res.flame_params.astype(jnp.float32), res.anchor_idx,
@@ -267,23 +274,29 @@ def _bench_pipeline(mode: str) -> float:
         saver = MeshSaver()
         objdir = tempfile.mkdtemp(prefix="hdt_bench_obj_")
 
+        # HDT_BENCH_OBJ=0 skips the export leg entirely — isolates the
+        # device step from the relay-bound host transfers for analysis
+        obj_export = os.environ.get("HDT_BENCH_OBJ", "1") != "0"
+
         def export_objs(out, it):
-            (boxes, scores, valid, cvalid, batch_idx, slot_idx,
-             verts, crops) = out
-            # compact slots are packed valid-first: ONE count transfer +
-            # ONE packed-vertex transfer per iteration (the previous
-            # per-row np.asarray paid a relay round trip per detection)
-            n = int(np.asarray(cvalid).sum())
+            boxes, scores, valid, meta, verts, crops = out
+            if not obj_export:
+                jax.block_until_ready(crops)
+                return 0
+            # TWO blocking transfers per iteration: the packed [M, V, 3]
+            # verts and one int32 metadata stack (the previous per-row
+            # np.asarray paid one relay round trip PER DETECTION)
+            m = np.asarray(meta)  # [3, M]
+            rows = np.asarray(verts, np.float64)  # [M, V, 3]
+            bidx, sidx, mvalid = m[0], m[1], m[2].astype(bool)
+            n = int(mvalid.sum())
             if n == 0:
                 return 0
-            rows = np.asarray(verts[:n], np.float64)  # [n, V, 3]
-            bidx = np.asarray(batch_idx[:n])
-            sidx = np.asarray(slot_idx[:n])
             saver.save_many(
-                rows,
+                rows[:n],
                 [
                     os.path.join(objdir, f"i{it}_b{bi}_k{si}.obj")
-                    for bi, si in zip(bidx, sidx)
+                    for bi, si in zip(bidx[:n], sidx[:n])
                 ],
             )
             return n
