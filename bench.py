@@ -205,11 +205,10 @@ def _bench_pipeline(mode: str) -> float:
             )
             kc = 8
             boxes = jnp.clip(res.boxes[:, :kc], 1.0, None)  # [B, kc, 4]
-            crops = jax.vmap(
-                lambda img, bxs, ang: aligned_crops_matmul(
-                    img, bxs, ang, out_size=256
-                )
-            )(images, boxes, angles[:, :kc])
+            # The warp runs as a SECOND jitted program (see warp_step below):
+            # fused into this graph, XLA's schedule collapsed the whole step
+            # to 45 img/s (vs 503 without the warp and ~30 ms for the warp
+            # alone) — the two-program split restores both numbers.
             # one small metadata tensor -> ONE host transfer beside the
             # packed verts (every blocking D2H is a ~0.5 s relay round trip
             # on the dev harness)
@@ -218,7 +217,8 @@ def _bench_pipeline(mode: str) -> float:
                 cres.slot_idx.astype(jnp.int32),
                 cres.valid.astype(jnp.int32),
             ])
-            return res.boxes, res.scores, res.valid, meta, verts, crops
+            return res.boxes, res.scores, res.valid, meta, verts, (
+                boxes, angles[:, :kc])
 
         params = globalize_flame(
             res.flame_params.astype(jnp.float32), res.anchor_idx,
@@ -274,12 +274,26 @@ def _bench_pipeline(mode: str) -> float:
         saver = MeshSaver()
         objdir = tempfile.mkdtemp(prefix="hdt_bench_obj_")
 
+        warp_on = os.environ.get("HDT_BENCH_CROPS", "1") != "0"
+
+        @jax.jit
+        def warp_step(images_u8, boxes, angles):
+            imgs = images_u8.astype(jnp.float32) / 255.0
+            return jax.vmap(
+                lambda img, bxs, ang: aligned_crops_matmul(
+                    img, bxs, ang, out_size=256
+                )
+            )(imgs, boxes, angles)
+
         # HDT_BENCH_OBJ=0 skips the export leg entirely — isolates the
         # device step from the relay-bound host transfers for analysis
         obj_export = os.environ.get("HDT_BENCH_OBJ", "1") != "0"
 
         def export_objs(out, it):
-            boxes, scores, valid, meta, verts, crops = out
+            boxes, scores, valid, meta, verts, (cboxes, cangles) = out
+            crops = (
+                warp_step(images, cboxes, cangles) if warp_on else cboxes
+            )
             if not obj_export:
                 jax.block_until_ready(crops)
                 return 0
@@ -299,6 +313,7 @@ def _bench_pipeline(mode: str) -> float:
                     for bi, si in zip(bidx[:n], sidx[:n])
                 ],
             )
+            jax.block_until_ready(crops)  # the warp program counts too
             return n
 
         for _ in range(WARMUP):
