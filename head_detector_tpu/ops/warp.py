@@ -120,26 +120,54 @@ def _shear_lines(img: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
     """Fractionally translate each LINE of ``img`` by its own offset.
 
     ``img`` is [N, L, S, C] (L independent lines of length S); line (n, l) is
-    resampled at source coordinate ``x + offsets[n, l]``, zero outside.  A
-    fractional 1-D translation has exactly two bilinear taps, so this is two
-    shifted ``take_along_axis`` reads and a lerp — O(S) per line instead of
-    the O(S^2) banded-matrix formulation (which materialises
-    [N, L, S, S] weights: 34 GB for 512 crops of 256px — measured 2.9 img/s;
-    this form restores crop throughput).
+    resampled at source coordinate ``x + offsets[n, l]``, zero outside
+    (bilinear: two taps, floor/ceil, linear blend).
+
+    TPU formulation: a whole-line translation by a fixed (per-line) offset
+    is a TOEPLITZ operator, and Toeplitz operators are diagonalised by the
+    DFT — so the shear becomes four dense MXU matmuls against a static DFT
+    basis (rfft -> per-line phase multiply by the 2-tap bilinear kernel's
+    transform -> irfft), with the line zero-padded to 2S so the circular
+    wrap lands in the zero region for any |offset| <= S.  No gathers: both
+    per-element ``take_along_axis`` taps and vmapped contiguous
+    ``dynamic_slice`` reads were measured pathological on the TPU backend
+    (1.2 s for 512 crops of 256px — 393k tiny gathers on a 3-wide lane
+    dim), and the banded-matrix matmul form materialises [N, L, S, S]
+    weights (34 GB).  This form measures MXU-bound.
     """
     n, l, s, c = img.shape
-    lo = jnp.floor(offsets)  # [N, L]
-    frac = (offsets - lo)[:, :, None, None]  # [N, L, 1, 1]
-    base = jnp.arange(s)[None, None, :] + lo[:, :, None].astype(jnp.int32)  # [N, L, S]
+    p = 2 * s
+    freqs = np.arange(p // 2 + 1)
+    w = 2.0 * np.pi * freqs / p  # [F]
+    ang = np.outer(np.arange(p), w)  # [P, F]
+    cosb = jnp.asarray(np.cos(ang), jnp.float32)
+    sinb = jnp.asarray(np.sin(ang), jnp.float32)
+    # irfft basis with Hermitian doubling (nu = 0 and Nyquist count once)
+    scale = np.ones(p // 2 + 1)
+    scale[1:-1] = 2.0
+    icos = jnp.asarray((np.cos(ang) * scale[None]).T / p, jnp.float32)  # [F, P]
+    isin = jnp.asarray((np.sin(ang) * scale[None]).T / p, jnp.float32)
 
-    def tap(idx):
-        ok = (idx >= 0) & (idx < s)
-        rows = jnp.take_along_axis(
-            img, jnp.clip(idx, 0, s - 1)[..., None], axis=2
-        )
-        return rows * ok[..., None].astype(img.dtype)
+    # lines-major: [N, L, C, S] -> [M, S], offsets repeated per channel
+    lines = jnp.moveaxis(img, 3, 2).reshape(n * l * c, s).astype(jnp.float32)
+    lines = jnp.pad(lines, ((0, 0), (0, p - s)))
+    o = jnp.broadcast_to(offsets[:, :, None], (n, l, c)).reshape(n * l * c)
+    o = jnp.clip(o, -float(s), float(s))  # out-of-range lines read only zeros
+    k = jnp.floor(o)
+    f = (o - k)[:, None]  # [M, 1]
 
-    return tap(base) * (1.0 - frac) + tap(base + 1) * frac
+    re = lines @ cosb  # [M, F]
+    im = -(lines @ sinb)
+    # shift property x[t + m] <-> X[nu] e^{+i w m}; bilinear kernel:
+    # K = (1-f) e^{iwk} + f e^{iw(k+1)}
+    pk = k[:, None] * w[None, :]  # [M, F]
+    kr = (1.0 - f) * jnp.cos(pk) + f * jnp.cos(pk + w[None, :])
+    ki = (1.0 - f) * jnp.sin(pk) + f * jnp.sin(pk + w[None, :])
+    rre = re * kr - im * ki
+    rim = re * ki + im * kr
+    out = rre @ icos - rim @ isin  # [M, P]
+    out = out[:, :s].reshape(n, l, c, s)
+    return jnp.moveaxis(out, 2, 3).astype(img.dtype)
 
 
 def rotate_crops_matmul(crops: jnp.ndarray, angles_deg: jnp.ndarray) -> jnp.ndarray:
@@ -195,7 +223,11 @@ def aligned_crops_matmul(
 ) -> jnp.ndarray:
     """Roll-aligned square crops, fully on device: an axis-aligned expanded
     crop (x ``margin`` >= sqrt(2), two matmuls) followed by a three-shear
-    center rotation (three matmuls).  The device analogue of the reference's
+    center rotation (three slice-gather line-translation passes).  Callers
+    composing this into a larger jitted graph should keep it a SEPARATE
+    program: fused into the detection graph, XLA's schedule was measured
+    ~40x slower than the same warp dispatched standalone (bench.py crops
+    mode).  The device analogue of the reference's
     ``vertically_align`` host path (cv2.getRotationMatrix2D + warpAffine,
     ``head_detector/utils.py:93-117``): content inside the original box is
     rotated by its roll angle and returned at ``out_size``.
