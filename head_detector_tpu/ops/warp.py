@@ -195,6 +195,24 @@ def rotate_crops_matmul(crops: jnp.ndarray, angles_deg: jnp.ndarray) -> jnp.ndar
     c = (s - 1) / 2.0
     rel = jnp.arange(s, dtype=jnp.float32) - c  # [S]
 
+    # Exact quadrant pre-rotation (pure transpose/flip, no resampling):
+    # rotate by the nearest multiple of 90 deg first so the shears only
+    # handle a residual |t| <= 45 deg.  This makes the decomposition valid
+    # over the FULL +-180 deg range (plain 3-shear degenerates past ~90 deg:
+    # tan(t/2) -> inf) and tightens shear offsets to <= tan(22.5)*S/2.
+    # Convention: +90 deg == np.rot90 k=1 on (row, col) == scipy/cv2 CCW
+    # (pinned by tests/test_warp.py against scipy.ndimage.rotate).
+    q = jnp.round(t / (jnp.pi / 2.0))
+    t = t - q * (jnp.pi / 2.0)
+    qm = jnp.mod(q.astype(jnp.int32), 4)[:, None, None, None]  # [N,1,1,1]
+    c0 = crops.astype(jnp.float32)
+    c1 = jnp.rot90(c0, 1, axes=(1, 2))
+    c2 = jnp.rot90(c0, 2, axes=(1, 2))
+    c3 = jnp.rot90(c0, 3, axes=(1, 2))
+    crops = jnp.where(
+        qm == 0, c0, jnp.where(qm == 1, c1, jnp.where(qm == 2, c2, c3))
+    )
+
     alpha = -jnp.tan(t / 2.0)  # x-shear factor (source offset per y)
     beta = jnp.sin(t)  # y-shear factor (source offset per x)
 

@@ -66,7 +66,9 @@ def test_rotate_crops_matmul_matches_scipy_and_cv2():
 
     rng = np.random.RandomState(0)
     img = ndimage.gaussian_filter(rng.rand(64, 64, 3).astype(np.float32), (3, 3, 0))
-    for ang in (15.0, -30.0, 45.0, 90.0):
+    # full +-180 range: the quadrant pre-rotation keeps the shear residual
+    # within +-45 deg, so large angles are as accurate as small ones
+    for ang in (15.0, -30.0, 45.0, 90.0, 135.0, 180.0, -120.0, -179.0):
         got = np.asarray(
             rotate_crops_matmul(jnp.asarray(img[None]), jnp.asarray([ang]))
         )[0]
