@@ -134,7 +134,10 @@ def run_config_from_dict(cfg: Dict[str, Any]) -> RunConfig:
         arch=cfg.get("architecture", cfg.get("arch", "yolo_heads_l")),
         image_size=ds.get("image_size", 640),
         batch_size=ds.get("batch_size", 8),
+        max_gt_boxes=ds.get("max_gt_boxes", 30),
+        num_workers=ds.get("num_workers", 4),
         max_epochs=hp.get("max_epochs", 50),
+        epochs_per_run=hp.get("epochs_per_run"),
         mixed_precision=hp.get("mixed_precision", True),
         ckpt_dir=cfg.get("ckpt_root_dir", "checkpoints")
         + "/"

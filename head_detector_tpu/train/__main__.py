@@ -21,6 +21,23 @@ from head_detector_tpu.config import load_config, run_config_from_dict
 CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "configs")
 
 
+class _CachedDataset:
+    """In-memory sample cache for deterministic (val) datasets: the first
+    epoch's host decode is reused by every later validation pass."""
+
+    def __init__(self, dataset):
+        self.dataset = dataset
+        self._cache = {}
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, index):
+        if index not in self._cache:
+            self._cache[index] = self.dataset[index]
+        return self._cache[index]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config-name", default="yolo_heads_l")
@@ -45,17 +62,34 @@ def main():
             default_val_transforms,
         )
 
-        train_ds = DAD3DHeadsDataset(
-            data_dir,
-            splits=ds_cfg.get("train_splits"),
-            transforms=default_train_transforms(image_size),
-            photometric=PhotometricAugs(),
-        )
         val_splits = ds_cfg.get("val_splits")
+        if ds_cfg.get("params_wire"):
+            # params-on-the-wire train path: GT FLAME decode happens on
+            # device inside the train step (train/param_wire.py module doc)
+            from head_detector_tpu.train.param_wire import (
+                ConformalAugs,
+                RenderedHeadsDataset,
+            )
+
+            train_ds = RenderedHeadsDataset(
+                data_dir,
+                splits=ds_cfg.get("train_splits"),
+                augs=ConformalAugs(image_size),
+                photometric=PhotometricAugs(),
+            )
+        else:
+            train_ds = DAD3DHeadsDataset(
+                data_dir,
+                splits=ds_cfg.get("train_splits"),
+                transforms=default_train_transforms(image_size),
+                photometric=PhotometricAugs(),
+            )
         val_ds = (
-            DAD3DHeadsDataset(
-                data_dir, splits=val_splits,
-                transforms=default_val_transforms(image_size),
+            _CachedDataset(
+                DAD3DHeadsDataset(
+                    data_dir, splits=val_splits,
+                    transforms=default_val_transforms(image_size),
+                )
             )
             if val_splits
             else None

@@ -55,6 +55,11 @@ class RunConfig:
     # to f32 on device inside the train step (~4x less host->device traffic;
     # also bounds the axon dev relay's per-upload host-RSS leak)
     compact_wire: bool = True
+    # chunked campaigns: exit the epoch loop after this many epochs per
+    # process invocation (None = run to max_epochs).  A driver loop re-invokes
+    # with resume=True — bounds the per-process host RSS the axon relay's
+    # upload leak can accumulate (CLAUDE.md).
+    epochs_per_run: Optional[int] = None
     log_dir: Optional[str] = None  # TensorBoard scalars + extreme-batch panels
     visualization_frequency_epochs: int = 2
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
@@ -66,7 +71,7 @@ class _Prefetcher:
 
     def __init__(self, dataset, batch_size: int, max_boxes: int,
                  num_workers: int = 4, seed: int = 0, drop_last: bool = True,
-                 wire_dtype=None):
+                 wire_dtype=None, collate_fn=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.max_boxes = max_boxes
@@ -74,6 +79,7 @@ class _Prefetcher:
         self.seed = seed
         self.drop_last = drop_last
         self.wire_dtype = wire_dtype
+        self.collate_fn = collate_fn or collate_samples
 
     def __iter__(self):
         order = np.random.RandomState(self.seed).permutation(len(self.dataset))
@@ -87,7 +93,7 @@ class _Prefetcher:
                 for b in range(n_batches):
                     idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
                     samples = list(pool.map(self.dataset.__getitem__, idxs))
-                    q.put(collate_samples(samples, self.max_boxes,
+                    q.put(self.collate_fn(samples, self.max_boxes,
                                           wire_dtype=self.wire_dtype))
             q.put(None)
 
@@ -267,11 +273,21 @@ class Trainer:
         cfg = self.cfg
         last_metrics: Dict[str, float] = {}
         start_epoch = int(self.state.step) // self.steps_per_epoch
+        train_collate = None
+        if _is_param_dataset(self.train_dataset):
+            from head_detector_tpu.train.param_wire import collate_param_samples
+
+            train_collate = collate_param_samples
         for epoch in range(start_epoch, cfg.max_epochs):
+            if cfg.epochs_per_run and epoch - start_epoch >= cfg.epochs_per_run:
+                print(f"[trainer] epochs_per_run={cfg.epochs_per_run} reached "
+                      f"at epoch {epoch}; exiting for chunk restart")
+                break
             loader = _Prefetcher(
                 self.train_dataset, cfg.batch_size, cfg.max_gt_boxes,
                 cfg.num_workers, seed=epoch,
                 wire_dtype=np.float16 if cfg.compact_wire else None,
+                collate_fn=train_collate,
             )
             t0 = time.time()
             seen = 0
@@ -301,7 +317,10 @@ class Trainer:
                         float(comps["loss"]), images,
                         np.asarray(targets.gt_bboxes),
                         np.asarray(targets.pad_gt_mask)[..., 0],
-                        gt_keypoints=np.asarray(targets.gt_vertices_2d),
+                        gt_keypoints=(
+                            np.asarray(targets.gt_vertices_2d)
+                            if hasattr(targets, "gt_vertices_2d") else None
+                        ),
                     )
                 if cfg.steps_per_epoch and bi + 1 >= cfg.steps_per_epoch:
                     break
@@ -326,6 +345,15 @@ class Trainer:
                 metrics=last_metrics,
             )
         return last_metrics
+
+
+def _is_param_dataset(dataset) -> bool:
+    """True when the dataset yields ParamSample (params-wire collate)."""
+    from head_detector_tpu.train.param_wire import RenderedHeadsDataset
+
+    return isinstance(dataset, RenderedHeadsDataset) or getattr(
+        dataset, "params_wire", False
+    )
 
 
 def _targets_to_samples(images: np.ndarray, targets) -> List:

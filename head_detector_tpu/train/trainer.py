@@ -135,28 +135,35 @@ def make_train_step(
     cross-replica score normalisation (``average_losses_in_ddp``).
     """
 
-    def loss_fn(params, batch_stats, images, targets: Targets):
+    def loss_fn(params, batch_stats, images, targets):
         (decoded, raw), mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             images,
             train=True,
             mutable=["batch_stats"],
         )
+        if not isinstance(targets, Targets):
+            # params wire: decode GT FLAME on device (param_wire module doc)
+            from head_detector_tpu.train.param_wire import decode_param_targets
+
+            targets = decode_param_targets(flame_model, targets)
         total, components = yolo_heads_loss(
             flame_model, raw, targets, loss_cfg, axis_name=axis_name
         )
         return total, (components, mutated["batch_stats"])
 
-    def train_step(state: TrainState, images: jnp.ndarray, targets: Targets):
-        # Compact wire format: callers may ship images as uint8 and the two
-        # large GT vertex tensors as float16, restored to f32 here ON DEVICE.
-        # This cuts host->device bytes ~4x — the math below is identical.
-        # (Motivation: the axon dev relay leaks every upload's size in host
-        # RSS, so long campaigns are bounded by bytes uploaded; on real
-        # hardware the same change is simply less PCIe traffic.)
+    def train_step(state: TrainState, images: jnp.ndarray, targets):
+        # Compact wire format: callers may ship images as uint8 and (dense
+        # wire only) the two large GT vertex tensors as float16, restored to
+        # f32 here ON DEVICE.  This cuts host->device bytes ~4x — the math
+        # below is identical.  (Motivation: the axon dev relay leaks every
+        # upload's size in host RSS, so long campaigns are bounded by bytes
+        # uploaded; on real hardware the same change is simply less PCIe
+        # traffic.)  The params wire (ParamTargets) needs no restore: it
+        # ships f32 parameter vectors and decodes GT vertices on device.
         if images.dtype == jnp.uint8:
             images = images.astype(jnp.float32) / 255.0
-        if targets.gt_vertices_3d.dtype != jnp.float32:
+        if isinstance(targets, Targets) and targets.gt_vertices_3d.dtype != jnp.float32:
             targets = targets._replace(
                 gt_vertices_2d=targets.gt_vertices_2d.astype(jnp.float32),
                 gt_vertices_3d=targets.gt_vertices_3d.astype(jnp.float32),
