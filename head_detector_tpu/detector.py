@@ -46,6 +46,23 @@ from head_detector_tpu.ops.nms import batched_nms
 from head_detector_tpu.ops.rotation import rotation_mats_to_rpy
 
 
+def _load_converter():
+    """Import ``tools/convert_torch_checkpoint.py`` by explicit file path —
+    no sys.path mutation, no generic-name shadowing risk."""
+    import importlib.util
+
+    mod_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools", "convert_torch_checkpoint.py",
+    )
+    spec = importlib.util.spec_from_file_location(
+        "hdt_convert_torch_checkpoint", mod_path
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def load_variables(path: str) -> Dict[str, Any]:
     """Load a checkpoint: flax msgpack (``save_variables``) or, when the
     path ends in ``.pth``/``.pt``/``.ckpt``, a torch/SuperGradients state
@@ -53,16 +70,30 @@ def load_variables(path: str) -> Dict[str, Any]:
     reference user's trained checkpoint plugs straight into
     ``HeadDetector(checkpoint=...)``."""
     if path.endswith((".pth", ".pt", ".ckpt")):
-        import os
-        import sys
-
         import torch
 
-        sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "tools"))
-        from convert_torch_checkpoint import convert
+        convert = _load_converter().convert
 
-        raw = torch.load(path, map_location="cpu", weights_only=False)
+        # Safe-by-default deserialization: SG checkpoints are plain tensor
+        # dicts, so weights_only=True works for them; full pickle loading
+        # (arbitrary code execution for a malicious file!) requires the
+        # explicit HDT_UNSAFE_TORCH_LOAD=1 opt-in.
+        try:
+            raw = torch.load(path, map_location="cpu", weights_only=True)
+        except Exception as exc:
+            if os.environ.get("HDT_UNSAFE_TORCH_LOAD") != "1":
+                raise RuntimeError(
+                    f"{path} is not loadable with weights_only=True. If you "
+                    "trust this checkpoint, set HDT_UNSAFE_TORCH_LOAD=1 to "
+                    "allow full (unsafe) pickle deserialization."
+                ) from exc
+            import warnings
+
+            warnings.warn(
+                f"HDT_UNSAFE_TORCH_LOAD=1: loading {path} with full pickle "
+                "deserialization (arbitrary code execution risk)."
+            )
+            raw = torch.load(path, map_location="cpu", weights_only=False)
         tree, _ = convert(raw if isinstance(raw, dict) else raw.state_dict())
         return tree
     from flax import serialization

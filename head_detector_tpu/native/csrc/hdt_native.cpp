@@ -165,12 +165,20 @@ void hdt_write_objs(const double* verts, int n_mesh, int n_vert,
       continue;
     }
     size_t off = 0;
+    bool truncated = false;
     const double* v = verts + (size_t)m * n_vert * 3;
     for (int i = 0; i < n_vert; ++i) {
-      off += (size_t)std::snprintf(buf + off, 96, "v %.8f %.8f %.8f\n",
-                                   v[i * 3 + 0], v[i * 3 + 1], v[i * 3 + 2]);
+      // bound by REMAINING capacity and clamp the advance to bytes actually
+      // written: a pathological vertex line (non-finite / >=1e24 coords)
+      // must not let `off` run past the buffer on later iterations
+      const size_t avail = cap - off;
+      const int want = std::snprintf(buf + off, avail, "v %.8f %.8f %.8f\n",
+                                     v[i * 3 + 0], v[i * 3 + 1], v[i * 3 + 2]);
+      if (want < 0) { truncated = true; break; }
+      if ((size_t)want >= avail) { truncated = true; off = cap - 1; break; }
+      off += (size_t)want;
     }
-    const bool ok = std::fwrite(buf, 1, off, f) == off &&
+    const bool ok = !truncated && std::fwrite(buf, 1, off, f) == off &&
                     std::fwrite(faces_block, 1, (size_t)faces_len, f) ==
                         (size_t)faces_len;
     std::free(buf);

@@ -483,12 +483,9 @@ def build_torch_mirror(name_or_arch) -> TorchYoloHeads:
 # --------------------------------------------------------------------- #
 def _flax_path_for(torch_key: str, bn_leaves: bool) -> Tuple[List[str], str]:
     """Translate a mirror state-dict key into (flax scope path, flax leaf)."""
-    import sys
-    import os
+    from head_detector_tpu.detector import _load_converter
 
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "tools"))
-    from convert_torch_checkpoint import _translate_segments
+    _translate_segments = _load_converter()._translate_segments
 
     scope, leaf = torch_key.rsplit(".", 1)
     parts = _translate_segments(scope.split("."), set())

@@ -88,7 +88,16 @@ def normalize_state_dict(raw: Dict[str, Any], prefer_ema: bool = False) -> Dict[
     candidates: Iterable[Tuple[str, Any]]
     if any(k in raw for k in ("net", "ema_net", "state_dict", "model_state_dict")):
         source = None
-        if prefer_ema and "ema_net" in raw:
+        if prefer_ema:
+            if "ema_net" not in raw:
+                # never silently hand back raw weights when EMA was asked
+                # for — mis-scoring a checkpoint's parameter set is exactly
+                # the failure the EMA-decay lessons are about (CLAUDE.md)
+                raise KeyError(
+                    "prefer_ema=True but the checkpoint has no 'ema_net' "
+                    f"entry (keys: {sorted(raw)[:8]}). Re-run without --ema "
+                    "to convert the raw 'net' weights."
+                )
             source = raw["ema_net"]
         else:
             for k in ("net", "state_dict", "model_state_dict", "ema_net"):

@@ -1,0 +1,289 @@
+"""Turnkey reference-parity runner: one command from a torch checkpoint to a
+pass/fail parity report against the BASELINE thresholds.
+
+Chain (VERDICT r2 item 3): load ``.pth``/``.ckpt``/``.trcd`` -> convert to
+flax (``tools/convert_torch_checkpoint.py``) -> load the live-torch mirror
+with the SAME weights -> stage-wise activation diff (``tools/layer_diff.py``
+stages: backbone c2..c5, neck p3..p5) -> end-to-end decoded-output parity on
+an image battery -> FLAME-vertex L2 / bbox IoU report vs the BASELINE north
+star (vertex L2 <= 1e-3, IoU >= 0.99).
+
+Vertex parity is decomposed: this tool certifies the *parameter* path
+(conv graph + towers + decode) numerically; the FLAME decoder itself is
+certified separately against goldens recorded from the reference's own torch
+code (``tests/test_reference_goldens.py``).  Together they cover
+image -> vertices.
+
+The ``.trcd`` format is what the reference actually ships
+(``yolo_head_training/yolo_head/exportable_mesh_model.py:440-442``: a
+``torch.jit.trace`` of the complete pipeline model).
+
+Usage::
+
+    # real reference checkpoint
+    python tools/verify_reference_parity.py ckpt_best.pth --arch yolo_heads_l
+
+    # TorchScript artifact
+    python tools/verify_reference_parity.py vgg_heads_l.trcd --arch yolo_heads_l
+
+    # no-external-weights self test: export the mirror's own .trcd, then
+    # verify the full chain against it
+    python tools/verify_reference_parity.py --self-test --arch yolo_heads_n --size 64
+
+With ``HDT_FLAME_EMBEDDING_PATH`` set, additionally reports the delta between
+the derived 68-landmark set (tools/derive_68_landmarks.py) and the official
+FLAME barycentric embedding.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+from typing import Dict, Optional
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# BASELINE.json north-star thresholds
+VERTEX_L2_THRESHOLD = 1e-3
+BBOX_IOU_THRESHOLD = 0.99
+STAGE_TOL = 5e-3  # bf16-free CPU f32 graphs agree to ~1e-4; headroom for depth
+
+
+def _load_torch_state(path: str) -> Dict[str, "np.ndarray"]:
+    """Checkpoint file -> flat torch-style state dict (tensor leaves)."""
+    import torch
+
+    if path.endswith(".trcd") or path.endswith(".jit"):
+        module = torch.jit.load(path, map_location="cpu")
+        return dict(module.state_dict())
+    try:
+        raw = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        if os.environ.get("HDT_UNSAFE_TORCH_LOAD") != "1":
+            raise RuntimeError(
+                f"{path} needs full pickle deserialization; set "
+                "HDT_UNSAFE_TORCH_LOAD=1 if you trust it."
+            )
+        raw = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(raw, dict):
+        for key in ("ema_net", "net", "state_dict", "model_state_dict"):
+            if key in raw:
+                print(f"[parity] using checkpoint entry '{key}'")
+                return dict(raw[key])
+        return raw
+    return dict(raw.state_dict())
+
+
+def _strip_to_roots(sd: Dict) -> Dict:
+    """Cut training-wrapper prefixes down to backbone/neck/heads keys."""
+    from convert_torch_checkpoint import _strip_wrapper
+
+    out = {}
+    for k, v in sd.items():
+        mk = _strip_wrapper(k)
+        if mk is not None:
+            out[mk] = v
+    return out
+
+
+def verify(
+    ckpt: Optional[str],
+    arch: str = "yolo_heads_l",
+    size: int = 640,
+    n_images: int = 4,
+    seed: int = 0,
+    self_test: bool = False,
+    print_fn=print,
+) -> Dict[str, object]:
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from convert_torch_checkpoint import convert
+    from layer_diff import collect_flax_stages, collect_torch_stages
+    from head_detector_tpu.flame import FlameModel, reproject_spatial_vertices
+    from head_detector_tpu.models import build_model
+    from head_detector_tpu.torch_mirror import build_torch_mirror, export_torchscript
+
+    report: Dict[str, object] = {"arch": arch, "checkpoint": ckpt}
+
+    if self_test:
+        # build a randomized mirror, ship ITS .trcd through the whole chain
+        tmp = tempfile.mkdtemp(prefix="hdt_parity_")
+        ckpt = os.path.join(tmp, f"{arch}_selftest.trcd")
+        mirror0 = build_torch_mirror(arch)
+        g = torch.Generator().manual_seed(seed)
+        state = mirror0.state_dict()
+        for key, t in state.items():
+            if key.endswith("num_batches_tracked"):
+                continue
+            if t.ndim == 0 or key.endswith("running_var") or (
+                    "bn" in key.rsplit(".", 2)[-2] and key.endswith("weight")):
+                state[key] = torch.rand(t.shape, generator=g) + 0.5
+            else:
+                state[key] = torch.randn(t.shape, generator=g) * 0.05
+        mirror0.load_state_dict(state)
+        mirror0.eval()
+        example = torch.rand(1, 3, size, size)
+        with torch.no_grad():
+            traced = torch.jit.trace(mirror0, example)
+        traced.save(ckpt)
+        print_fn(f"[parity] self-test artifact: {ckpt}")
+        report["checkpoint"] = ckpt
+
+    # 1. load + convert ---------------------------------------------------- #
+    sd = _load_torch_state(ckpt)
+    tree, notes = convert(sd)
+    n_leaves = len(jax.tree_util.tree_leaves(tree))
+    print_fn(f"[parity] converted {n_leaves} leaves "
+             f"({len(notes)} notes)")
+    report["converted_leaves"] = n_leaves
+    report["convert_notes"] = notes[:20]
+
+    # 2. identical weights into the live mirror ---------------------------- #
+    mirror = build_torch_mirror(arch)
+    stripped = {k: torch.as_tensor(np.asarray(v)) for k, v in _strip_to_roots(sd).items()}
+    missing, unexpected = mirror.load_state_dict(stripped, strict=False)
+    missing = [m for m in missing if not m.endswith("num_batches_tracked")]
+    print_fn(f"[parity] mirror load: {len(missing)} missing, "
+             f"{len(unexpected)} unexpected keys")
+    report["mirror_missing"] = missing[:10]
+    report["mirror_unexpected"] = list(unexpected)[:10]
+    mirror.eval()
+
+    model = build_model(arch)
+    variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+
+    # 3. stage-wise activation diff ---------------------------------------- #
+    rng = np.random.RandomState(seed)
+    img = rng.rand(1, min(size, 128), min(size, 128), 3).astype(np.float32)
+    tacts, _ = collect_torch_stages(mirror, img.transpose(0, 3, 1, 2))
+    facts, _ = collect_flax_stages(model, variables, img)
+    stages = {}
+    print_fn(f"{'stage':<8}{'max|diff|':>12}")
+    for name in ("c2", "c3", "c4", "c5", "p3", "p4", "p5"):
+        d = float(np.abs(facts[name] - tacts[name]).max())
+        stages[name] = d
+        print_fn(f"{name:<8}{d:>12.3e}")
+    report["stage_diffs"] = stages
+
+    # 4. end-to-end decoded parity on an image battery --------------------- #
+    flame = FlameModel.from_assets()
+    max_box_diff = max_score_diff = max_flame_diff = 0.0
+    min_iou = 1.0
+    max_vertex_l2 = 0.0
+    for i in range(n_images):
+        x = np.random.RandomState(seed + 100 + i).rand(1, size, size, 3).astype(np.float32)
+        with torch.no_grad():
+            tb, ts, tf = (o.numpy() for o in mirror(torch.from_numpy(
+                x.transpose(0, 3, 1, 2))))
+        decoded, _ = model.apply(variables, jnp.asarray(x), train=False)
+        fb = np.asarray(decoded.boxes_xyxy, np.float32)
+        fs = np.asarray(decoded.scores, np.float32)
+        ff = np.asarray(decoded.flame_params, np.float32)
+
+        max_box_diff = max(max_box_diff, float(np.abs(fb - tb).max()))
+        max_score_diff = max(max_score_diff, float(np.abs(fs - ts).max()))
+        max_flame_diff = max(max_flame_diff, float(np.abs(ff - tf).max()))
+
+        # top-100 anchors by flax score: IoU + decoded-vertex L2
+        sel = np.argsort(-fs[0, :, 0])[:100]
+        bf, bt = fb[0, sel], tb[0, sel]
+        x1 = np.maximum(bf[:, 0], bt[:, 0]); y1 = np.maximum(bf[:, 1], bt[:, 1])
+        x2 = np.minimum(bf[:, 2], bt[:, 2]); y2 = np.minimum(bf[:, 3], bt[:, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        area = lambda b: np.clip(b[:, 2] - b[:, 0], 0, None) * np.clip(
+            b[:, 3] - b[:, 1], 0, None)
+        union = area(bf) + area(bt) - inter
+        iou = np.where(union > 0, inter / np.maximum(union, 1e-9), 1.0)
+        min_iou = min(min_iou, float(iou.min()))
+
+        vf = np.asarray(reproject_spatial_vertices(
+            flame, jnp.asarray(ff[0, sel]), to_2d=False)[0])
+        vt = np.asarray(reproject_spatial_vertices(
+            flame, jnp.asarray(tf[0, sel]), to_2d=False)[0])
+        l2 = np.linalg.norm(vf - vt, axis=-1).max()
+        max_vertex_l2 = max(max_vertex_l2, float(l2))
+
+    report.update(
+        max_box_diff=max_box_diff,
+        max_score_diff=max_score_diff,
+        max_flame_diff=max_flame_diff,
+        min_bbox_iou=min_iou,
+        max_vertex_l2=max_vertex_l2,
+    )
+    stage_ok = all(v < STAGE_TOL for v in stages.values())
+    ok = (
+        stage_ok
+        and min_iou >= BBOX_IOU_THRESHOLD
+        and max_vertex_l2 <= VERTEX_L2_THRESHOLD
+    )
+    report["pass"] = bool(ok)
+
+    print_fn(
+        f"[parity] boxes max|d|={max_box_diff:.3e} scores={max_score_diff:.3e} "
+        f"flame={max_flame_diff:.3e}"
+    )
+    print_fn(
+        f"[parity] min bbox IoU={min_iou:.5f} (>= {BBOX_IOU_THRESHOLD}), "
+        f"max vertex L2={max_vertex_l2:.3e} (<= {VERTEX_L2_THRESHOLD})"
+    )
+    print_fn(f"[parity] RESULT: {'PASS' if ok else 'FAIL'}")
+
+    # 5. optional official 68-landmark embedding check --------------------- #
+    emb_path = os.environ.get("HDT_FLAME_EMBEDDING_PATH")
+    if emb_path and os.path.exists(emb_path):
+        from derive_68_landmarks import derive_68_landmarks
+
+        from head_detector_tpu.assets_io import load_flame_assets
+
+        assets = load_flame_assets()
+        derived = derive_68_landmarks()
+        emb = np.load(emb_path, allow_pickle=True)
+        # official embedding: barycentric (face index + weights)
+        faces = assets.faces[np.asarray(emb["lmk_face_idx"], np.int64)]
+        bary = np.asarray(emb["lmk_b_coords"], np.float64)
+        official = (assets.v_template[faces] * bary[..., None]).sum(1)
+        ours = assets.v_template[derived]
+        delta = np.linalg.norm(official - ours, axis=-1)
+        report["landmark68_mean_delta"] = float(delta.mean())
+        report["landmark68_max_delta"] = float(delta.max())
+        print_fn(
+            f"[parity] 68-lmk derived-vs-official: mean {delta.mean():.4f}, "
+            f"max {delta.max():.4f} (canonical mesh units)"
+        )
+
+    return report
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("ckpt", nargs="?", help=".pth/.ckpt/.trcd checkpoint")
+    ap.add_argument("--arch", default="yolo_heads_l")
+    ap.add_argument("--size", type=int, default=640)
+    ap.add_argument("--n-images", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--self-test", action="store_true")
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args(argv)
+    if not args.ckpt and not args.self_test:
+        ap.error("provide a checkpoint path or --self-test")
+    report = verify(
+        args.ckpt, args.arch, args.size, args.n_images, args.seed,
+        self_test=args.self_test,
+    )
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(report, f, indent=2, default=str)
+    return 0 if report["pass"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
