@@ -245,3 +245,41 @@ def test_match_head_boxes_hungarian():
     assert sorted(res.tp_matches) == [(0, 1), (1, 0)]
     assert res.fp_indexes == [2]
     assert res.fn_indexes == []
+
+
+def test_68_landmark_flip_consistency_ibug():
+    """Left/right flip consistency against the reference's own iBUG flip
+    table (dataset_parsing.py:86-116) — VERDICT r2 item 9: each flip pair
+    mirrors about x=0 and midline landmarks sit on the midline, to within
+    local vertex spacing (the documented vertex-snapped-vs-barycentric
+    protocol delta's symmetric component is thereby bounded at ~1% of face
+    half-width)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from derive_68_landmarks import ASSETS, FLIP_PAIRS_1BASED
+
+    from head_detector_tpu.evaluation.dad_metrics import get_68_landmark_indices
+
+    idx = get_68_landmark_indices()
+    v = np.load(os.path.join(ASSETS, "v_template.npy"))[idx]
+
+    pairs0 = [(a - 1, b - 1) for a, b in FLIP_PAIRS_1BASED]
+    for a, b in pairs0:
+        assert abs(v[a, 0] + v[b, 0]) < 8e-3, (a, b, v[a], v[b])
+        assert np.abs(v[a, 1:] - v[b, 1:]).max() < 8e-3, (a, b)
+        # pair members sit on opposite sides of the midline
+        assert v[a, 0] * v[b, 0] <= 0, (a, b)
+
+    paired = {i for p in pairs0 for i in p}
+    for m in range(68):
+        if m not in paired:
+            assert abs(v[m, 0]) < 8e-3, (m, v[m])
+
+    # iBUG group ordering: the jaw arc runs ear -> chin -> ear, so its
+    # endpoints sit above (template y) and on opposite x-sides of the chin
+    # (landmark 8, a midline point); x is NOT monotone along the 3D arc
+    # (it wraps toward the ears), so only the semantic ordering is pinned
+    assert v[0, 1] > v[8, 1] and v[16, 1] > v[8, 1]
+    assert v[0, 0] * v[16, 0] < 0

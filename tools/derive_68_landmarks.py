@@ -147,6 +147,61 @@ def derive() -> np.ndarray:
     out[64] = ui[-1]
     out[65:68] = _sample(li[1:-1], 3)[::-1]
 
+    return _symmetrize(v, out)
+
+
+# iBUG left/right flip pairs, 1-based — the reference's own table
+# (yolo_head_training/yolo_head/dataset_parsing.py:86-116,
+# FACE_KEYPOINTS_FLIP_INDEXES).  Landmarks in no pair are midline points.
+FLIP_PAIRS_1BASED = (
+    (1, 17), (2, 16), (3, 15), (4, 14), (5, 13), (6, 12), (7, 11), (8, 10),
+    (18, 27), (19, 26), (20, 25), (21, 24), (22, 23),
+    (37, 46), (38, 45), (39, 44), (40, 43), (42, 47), (41, 48),
+    (32, 36), (33, 35),
+    (49, 55), (50, 54), (61, 65), (60, 56),
+    (51, 53), (62, 64), (68, 66), (59, 57),
+)
+
+
+def _symmetrize(v: np.ndarray, out: np.ndarray) -> np.ndarray:
+    """Enforce iBUG left/right flip consistency on the vertex picks.
+
+    The region-sampling picks land within ~0.03 of perfect mirror symmetry
+    (vs face half-width ~0.073) because polyline sampling quantizes
+    differently per side.  For every flip pair the two picks are re-snapped
+    to the template vertices nearest the pair's symmetrized midpoint (and
+    its mirror); midline landmarks snap to the vertex nearest their x=0
+    projection.  Residual asymmetry is then bounded by local vertex spacing
+    plus the template's own intrinsic asymmetry (tested: < 0.008).
+    """
+    out = out.copy()
+    mirror = np.array([-1.0, 1.0, 1.0])
+
+    def nearest(target: np.ndarray, exclude: set) -> int:
+        d = np.linalg.norm(v - target[None], axis=1)
+        for idx in np.argsort(d)[:16]:
+            if int(idx) not in exclude:
+                return int(idx)
+        return int(np.argmin(d))
+
+    taken: set = set()
+    pairs0 = [(a - 1, b - 1) for a, b in FLIP_PAIRS_1BASED]
+    paired = {i for p in pairs0 for i in p}
+    for a, b in pairs0:
+        target = (v[out[a]] + v[out[b]] * mirror) / 2.0
+        ia = nearest(target, taken)
+        taken.add(ia)
+        ib = nearest(target * mirror, taken)
+        taken.add(ib)
+        out[a], out[b] = ia, ib
+    for m in range(68):
+        if m in paired:
+            continue
+        target = v[out[m]].copy()
+        target[0] = 0.0
+        im = nearest(target, taken)
+        taken.add(im)
+        out[m] = im
     return out
 
 
