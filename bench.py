@@ -41,6 +41,33 @@ MODE = os.environ.get("HDT_BENCH_MODE", "pipeline")
 BASELINE_FILE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
 )
+_FLOPS_PER_IMAGE = 0.0  # set by _bench_pipeline (HLO cost analysis)
+_DETS_PER_IMAGE = -1.0  # measured valid detections/image (set by pipeline)
+
+
+def _make_inputs() -> np.ndarray:
+    """Benchmark input batch.
+
+    Default: random uint8 noise (the empty-pipeline regime — ~0 detections
+    through a random-init net; fine for the forward/NMS floor, misleading
+    for per-detection legs).  ``HDT_BENCH_INPUT=render`` builds rendered
+    FLAME-head scenes (>=1 head/image; ``HDT_BENCH_HEADS`` heads max, 5 =
+    the stress case) so that with a trained ``HDT_BENCH_CKPT`` the
+    per-detection legs run at workload density (VERDICT r2 item 2; the
+    reference's workload is >=1 head/image, detector.py:97-102).
+    """
+    rng = np.random.RandomState(0)
+    if os.environ.get("HDT_BENCH_INPUT") != "render":
+        return rng.randint(0, 255, (BATCH, SIZE, SIZE, 3), dtype=np.uint8)
+
+    from head_detector_tpu.train.dataset import SyntheticHeadsDataset
+
+    max_heads = int(os.environ.get("HDT_BENCH_HEADS", "3"))
+    ds = SyntheticHeadsDataset(
+        image_size=SIZE, length=BATCH, max_heads=max_heads, seed=11,
+        render=True,
+    )
+    return np.stack([ds[i].image for i in range(BATCH)])
 
 
 def _build_fused(jnp, skip_flame: bool = False):
@@ -49,8 +76,27 @@ def _build_fused(jnp, skip_flame: bool = False):
     from head_detector_tpu.export import build_deploy
     from head_detector_tpu.models import build_model, init_model
 
-    train_model = build_model(MODEL, dtype=jnp.bfloat16)
-    variables = init_model(train_model, jax.random.PRNGKey(0), (SIZE, SIZE), batch=2)
+    ckpt = os.environ.get("HDT_BENCH_CKPT")
+    if ckpt:
+        # loaded-regime benchmarking: a trained checkpoint produces real
+        # detections on rendered inputs (HDT_BENCH_INPUT=render), so the
+        # per-detection legs (FLAME decode, crops, PNCC) run at workload
+        # density instead of the empty-pipeline regime
+        from head_detector_tpu.detector import load_variables
+        from head_detector_tpu.train.checkpoint import restore_key_matching
+
+        train_model = build_model(MODEL, dtype=jnp.bfloat16)
+        variables = init_model(
+            train_model, jax.random.PRNGKey(0), (SIZE, SIZE), batch=2
+        )
+        source = load_variables(ckpt)
+        variables, matched, total = restore_key_matching(variables, source)
+        print(f"# ckpt restore: {matched}/{total} leaves", file=sys.stderr)
+    else:
+        train_model = build_model(MODEL, dtype=jnp.bfloat16)
+        variables = init_model(
+            train_model, jax.random.PRNGKey(0), (SIZE, SIZE), batch=2
+        )
     # deferred FLAME globalisation: the dense [B, A, 413] tensor stays in
     # bf16 anchor-local form; the ~K kept rows are globalised after NMS
     # (bit-identical in f32, no dense f32 materialisation).  skip_flame
@@ -62,6 +108,7 @@ def _build_fused(jnp, skip_flame: bool = False):
 
 
 def _bench_pipeline(mode: str) -> float:
+    global _DETS_PER_IMAGE, _FLOPS_PER_IMAGE
     import jax
     import jax.numpy as jnp
 
@@ -203,7 +250,11 @@ def _bench_pipeline(mode: str) -> float:
                 .at[bi, cres.slot_idx]
                 .set(roll, mode="drop")
             )
-            kc = 8
+            # crops/image budget: default 8 covers the workload's p100
+            # (scenes carry <=5 heads — density measured + reported in the
+            # JSON line); HDT_BENCH_KC lifts it up to post_nms_max for the
+            # literal every-NMS-slot case
+            kc = int(os.environ.get("HDT_BENCH_KC", "8"))
             boxes = jnp.clip(res.boxes[:, :kc], 1.0, None)  # [B, kc, 4]
             # The warp runs as a SECOND jitted program (see warp_step below):
             # fused into this graph, XLA's schedule collapsed the whole step
@@ -260,10 +311,7 @@ def _bench_pipeline(mode: str) -> float:
 
         return res.boxes, res.scores, res.valid, verts
 
-    rng = np.random.RandomState(0)
-    images = jnp.asarray(
-        rng.randint(0, 255, (BATCH, SIZE, SIZE, 3), dtype=np.uint8)
-    )
+    images = jnp.asarray(_make_inputs())
 
     if mode == "crops":
         # config 3 also times OBJ mesh export of every valid detection
@@ -336,7 +384,14 @@ def _bench_pipeline(mode: str) -> float:
             prev = out
         export_objs(prev, ITERS - 1)
         dt = time.perf_counter() - t0
+        _DETS_PER_IMAGE = float(np.asarray(out[2]).sum()) / BATCH
         return BATCH * ITERS / dt
+
+    # FLOPs accounting (VERDICT r2 item 4): HLO cost analysis of the step —
+    # no extra device compile (Lowered-level), divided per image for MFU
+    from head_detector_tpu.profiling import flops_estimate
+
+    _FLOPS_PER_IMAGE = flops_estimate(step, images) / BATCH
 
     for _ in range(WARMUP):
         out = step(images)
@@ -347,6 +402,7 @@ def _bench_pipeline(mode: str) -> float:
         out = step(images)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
+    _DETS_PER_IMAGE = float(np.asarray(out[2]).sum()) / BATCH
     return BATCH * ITERS / dt
 
 
@@ -470,16 +526,26 @@ def main():
             pass
         baseline = images_per_sec
 
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(images_per_sec, 2),
-                "unit": "images/sec",
-                "vs_baseline": round(images_per_sec / baseline, 3),
-            }
-        )
-    )
+    payload = {
+        "metric": metric,
+        "value": round(images_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(images_per_sec / baseline, 3),
+    }
+    if _FLOPS_PER_IMAGE > 0:
+        from head_detector_tpu.profiling import V5E_BF16_PEAK_FLOPS, mfu
+
+        payload["gflops_per_image"] = round(_FLOPS_PER_IMAGE / 1e9, 2)
+        if str(jax.devices()[0].platform) != "cpu":
+            payload["bf16_mfu_pct"] = round(
+                100.0 * mfu(_FLOPS_PER_IMAGE, images_per_sec), 2
+            )
+    if _DETS_PER_IMAGE >= 0:
+        # workload density the per-detection legs actually saw — ~0 on the
+        # default noise input through a random-init net (empty-pipeline
+        # regime), >=1 with HDT_BENCH_INPUT=render + a trained HDT_BENCH_CKPT
+        payload["detections_per_image"] = round(_DETS_PER_IMAGE, 2)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -31,6 +31,47 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+# One v5e chip: 197 TFLOP/s bf16 MXU peak (394 TOPS int8).
+V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def flops_estimate(jitted_fn: Callable, *args) -> float:
+    """FLOPs per call of a jitted function, from XLA's HLO cost analysis.
+
+    Uses ``Lowered.cost_analysis()`` (pre-compile, backend-independent) so no
+    second device compilation happens; falls back to the compiled
+    executable's analysis where the lowered one is unavailable.  Returns 0.0
+    when neither is supported by the backend.
+    """
+    try:
+        lowered = jitted_fn.lower(*args)
+    except Exception:
+        return 0.0
+    for stage in (lowered, None):
+        try:
+            ca = stage.cost_analysis() if stage is not None else (
+                lowered.compile().cost_analysis()
+            )
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0] if ca else {}
+            f = float((ca or {}).get("flops", 0.0))
+            if f > 0:
+                return f
+        except Exception:
+            continue
+    return 0.0
+
+
+def mfu(
+    flops_per_item: float, items_per_sec: float,
+    peak_flops: float = V5E_BF16_PEAK_FLOPS,
+) -> float:
+    """Model FLOPs utilisation: achieved FLOP/s over the chip's bf16 peak."""
+    if flops_per_item <= 0 or items_per_sec <= 0:
+        return 0.0
+    return flops_per_item * items_per_sec / peak_flops
+
+
 def time_fn(
     fn: Callable, *args, warmup: int = 2, iters: int = 10
 ) -> Tuple[float, Any]:
