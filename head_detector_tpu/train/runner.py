@@ -161,6 +161,15 @@ class Trainer:
         self.metrics_factory = metrics_factory or self._default_metrics
         self.history: List[Dict[str, float]] = []
 
+        # f16 GT-vertex wire policy (dense wire only): None = auto -> f16
+        # only on the axon dev harness where upload bytes are the binding
+        # constraint; exact f32 everywhere else.  Params-wire datasets ship
+        # f32 parameter vectors regardless.
+        if cfg.compact_wire is None:
+            self._f16_gt_wire = jax.default_backend() == "axon"
+        else:
+            self._f16_gt_wire = bool(cfg.compact_wire)
+
         self.tb = None
         self.extreme_viz = None
         if cfg.log_dir:
@@ -290,7 +299,7 @@ class Trainer:
             loader = _Prefetcher(
                 self.train_dataset, cfg.batch_size, cfg.max_gt_boxes,
                 cfg.num_workers, seed=epoch,
-                wire_dtype=np.float16 if cfg.compact_wire else None,
+                wire_dtype=np.float16 if self._f16_gt_wire else None,
                 collate_fn=train_collate,
             )
             t0 = time.time()
@@ -298,10 +307,9 @@ class Trainer:
             for bi, (images, targets) in enumerate(loader):
                 import jax.numpy as jnp
 
-                if cfg.compact_wire:
-                    imgs = jnp.asarray(images)  # uint8; /255 happens on device
-                else:
-                    imgs = jnp.asarray(images, jnp.float32) / 255.0
+                # images always ride the wire as uint8 (lossless; /255 on
+                # device) — only the dense GT vertex dtype is policy
+                imgs = jnp.asarray(images)
                 self.state, comps = self.step_fn(self.state, imgs, targets)
                 seen += images.shape[0]
                 if (bi + 1) % cfg.log_every == 0:
