@@ -419,23 +419,38 @@ def _bench_latency() -> float:
 
     from head_detector_tpu.detector import HeadDetector
 
-    det = HeadDetector(model=MODEL, image_size=SIZE)
+    # single-image program budgets (VERDICT r2 item 5): the default 1000/100
+    # NMS budgets are batch-serving-shaped; HDT_BENCH_PRE/POST specialize the
+    # program for one image (e.g. 128/32)
+    pre = int(os.environ.get("HDT_BENCH_PRE", "1000"))
+    post = int(os.environ.get("HDT_BENCH_POST", "100"))
+    det = HeadDetector(model=MODEL, image_size=SIZE, pre_nms_max=pre,
+                       post_nms_max=post)
     rng = np.random.RandomState(0)
     image = rng.randint(0, 255, (480, SIZE, 3), dtype=np.uint8)
 
-    if os.environ.get("HDT_BENCH_LAT") == "device":
+    lat_mode = os.environ.get("HDT_BENCH_LAT")
+    if lat_mode in ("device", "forward"):
         import jax
         import jax.numpy as jnp
 
         from head_detector_tpu.ops.letterbox import letterbox
 
         img, (pad_l, pad_t), scale = letterbox(jnp.asarray(image), SIZE)
-        args = (
-            img,
-            jnp.float32(0.5),
-            jnp.asarray([pad_l, pad_t], jnp.float32),
-            jnp.float32(scale),
-        )
+        if lat_mode == "forward":
+            # component isolation: the conv forward alone (scores out)
+            fwd = jax.jit(
+                lambda x: det._model.apply(det._variables, x, train=False)[0].scores
+            )
+            det._detect = fwd
+            args = (img,)
+        else:
+            args = (
+                img,
+                jnp.float32(0.5),
+                jnp.asarray([pad_l, pad_t], jnp.float32),
+                jnp.float32(scale),
+            )
         for _ in range(max(WARMUP, 2)):
             out = det._detect(*args)
         jax.block_until_ready(out)
@@ -481,10 +496,14 @@ def main():
 
     if MODE == "latency":
         p50_ms = _bench_latency()
-        flavor = (
-            "device program" if os.environ.get("HDT_BENCH_LAT") == "device"
-            else "e2e HeadDetector"
-        )
+        flavor = {
+            "device": "device program", "forward": "forward only",
+        }.get(os.environ.get("HDT_BENCH_LAT", ""), "e2e HeadDetector")
+        if os.environ.get("HDT_BENCH_PRE") or os.environ.get("HDT_BENCH_POST"):
+            flavor += (
+                f", nms {os.environ.get('HDT_BENCH_PRE', '1000')}"
+                f"/{os.environ.get('HDT_BENCH_POST', '100')}"
+            )
         print(
             json.dumps(
                 {
