@@ -81,6 +81,13 @@ def main(argv=None) -> int:
     ap.add_argument("--max-heads", type=int, default=3)
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--which", choices=["raw", "ema", "both"], default="both")
+    ap.add_argument("--data-dir", default=None,
+                    help="VGGHeads-layout dataset root: score the on-disk "
+                         "val split instead of the procedural generator")
+    ap.add_argument("--val-split", default="val")
+    ap.add_argument("--export-msgpack", default=None,
+                    help="also write {params,batch_stats} (first --which "
+                         "kind) as a flax msgpack for HeadDetector/bench")
     args = ap.parse_args(argv)
 
     import orbax.checkpoint as ocp
@@ -98,17 +105,31 @@ def main(argv=None) -> int:
 
     model = build_model(args.arch)
     flame = FlameModel.from_assets()
-    # the held-out val renders: same generator/seed convention as the
-    # trainer CLI (train/__main__.py) — seed offset 1 from the train set
-    dataset = SyntheticHeadsDataset(
-        flame, image_size=args.image_size, length=args.val_length,
-        max_heads=args.max_heads, seed=1, render=True,
-    )
+    if args.data_dir:
+        from head_detector_tpu.train.dataset import DAD3DHeadsDataset
+        from head_detector_tpu.train.transforms import default_val_transforms
+
+        dataset = DAD3DHeadsDataset(
+            args.data_dir, splits=[args.val_split], flame_model=flame,
+            transforms=default_val_transforms(args.image_size),
+        )
+    else:
+        # the held-out val renders: same generator/seed convention as the
+        # trainer CLI (train/__main__.py) — seed offset 1 from the train set
+        dataset = SyntheticHeadsDataset(
+            flame, image_size=args.image_size, length=args.val_length,
+            max_heads=args.max_heads, seed=1, render=True,
+        )
 
     which = (["raw", "ema"] if args.which == "both" else [args.which])
-    for kind in which:
+    for i, kind in enumerate(which):
         params = restored["params"] if kind == "raw" else restored["ema_params"]
         variables = {"params": params, "batch_stats": restored["batch_stats"]}
+        if i == 0 and args.export_msgpack:
+            from head_detector_tpu.detector import save_variables
+
+            save_variables(variables, args.export_msgpack)
+            print(f"[step {step}] wrote {kind} msgpack: {args.export_msgpack}")
         result = evaluate(variables, model, flame, dataset,
                           batch_size=args.batch_size)
         print(f"[step {step}] {kind}: {result}")
