@@ -88,6 +88,8 @@ def main(argv=None) -> int:
     ap.add_argument("--export-msgpack", default=None,
                     help="also write {params,batch_stats} (first --which "
                          "kind) as a flax msgpack for HeadDetector/bench")
+    ap.add_argument("--no-eval", action="store_true",
+                    help="skip metric evaluation (export-only)")
     args = ap.parse_args(argv)
 
     import orbax.checkpoint as ocp
@@ -130,6 +132,8 @@ def main(argv=None) -> int:
 
             save_variables(variables, args.export_msgpack)
             print(f"[step {step}] wrote {kind} msgpack: {args.export_msgpack}")
+        if args.no_eval:
+            continue
         result = evaluate(variables, model, flame, dataset,
                           batch_size=args.batch_size)
         print(f"[step {step}] {kind}: {result}")
