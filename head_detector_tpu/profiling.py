@@ -35,31 +35,86 @@ def annotate(name: str):
 V5E_BF16_PEAK_FLOPS = 197e12
 
 
-def flops_estimate(jitted_fn: Callable, *args) -> float:
-    """FLOPs per call of a jitted function, from XLA's HLO cost analysis.
+def _prod(shape) -> float:
+    out = 1.0
+    for d in shape:
+        out *= int(d)
+    return out
 
-    Uses ``Lowered.cost_analysis()`` (pre-compile, backend-independent) so no
-    second device compilation happens; falls back to the compiled
-    executable's analysis where the lowered one is unavailable.  Returns 0.0
-    when neither is supported by the backend.
+
+def _jaxpr_flops(jaxpr) -> float:
+    """Matmul/conv FLOPs of one (open) jaxpr, recursing into sub-jaxprs.
+
+    Counts ``2 * MACs`` for ``dot_general`` and ``conv_general_dilated``
+    (where essentially all of a convnet's FLOPs live); elementwise and data-
+    movement ops are ignored.  ``scan`` bodies are multiplied by the trip
+    count; ``cond``/``while`` branches are counted once (an upper bound of
+    one branch; ``while`` trip counts are unknowable statically).
+    """
+    total = 0.0
+    for eqn in jaxpr.eqns:
+        prim = eqn.primitive.name
+        if prim == "dot_general":
+            (lhs_c, _), _ = eqn.params["dimension_numbers"]
+            out = _prod(eqn.outvars[0].aval.shape)
+            k = _prod(eqn.invars[0].aval.shape[d] for d in lhs_c)
+            total += 2.0 * out * k
+        elif prim == "conv_general_dilated":
+            dn = eqn.params["dimension_numbers"]
+            rhs_shape = eqn.invars[1].aval.shape
+            out = _prod(eqn.outvars[0].aval.shape)
+            # per-output-element MACs = kH*kW*Cin/groups = prod(rhs)/Cout
+            macs = _prod(rhs_shape) / max(int(rhs_shape[dn.rhs_spec[0]]), 1)
+            total += 2.0 * out * macs
+        else:
+            mult = 1.0
+            if prim == "scan":
+                mult = float(eqn.params.get("length", 1))
+            for p in eqn.params.values():
+                vals = p if isinstance(p, (list, tuple)) else (p,)
+                for v in vals:
+                    inner = getattr(v, "jaxpr", None)
+                    if inner is not None and hasattr(inner, "eqns"):
+                        total += mult * _jaxpr_flops(inner)
+                    elif hasattr(v, "eqns"):
+                        total += mult * _jaxpr_flops(v)
+    return total
+
+
+def analytic_flops(fn: Callable, *args) -> float:
+    """Backend-independent FLOPs per call: trace to a jaxpr and count
+    ``dot_general``/``conv_general_dilated`` MACs x2 (see :func:`_jaxpr_flops`).
+
+    Works where XLA's ``cost_analysis`` returns ``None`` (it does for large
+    multi-computation modules); only needs a trace, never a compile.
+    """
+    try:
+        closed = jax.make_jaxpr(fn)(*args)
+    except Exception:
+        return 0.0
+    return _jaxpr_flops(closed.jaxpr)
+
+
+def flops_estimate(jitted_fn: Callable, *args) -> float:
+    """FLOPs per call of a jitted function.
+
+    Prefers ``Lowered.cost_analysis()`` (pre-compile, backend-independent —
+    no second device compilation); falls back to the analytic jaxpr count
+    (:func:`analytic_flops`) where XLA's analysis is unavailable or returns
+    nothing (observed: ``None`` for the full detection graph).  Returns 0.0
+    only when both fail.
     """
     try:
         lowered = jitted_fn.lower(*args)
+        ca = lowered.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        f = float((ca or {}).get("flops", 0.0))
+        if f > 0:
+            return f
     except Exception:
-        return 0.0
-    for stage in (lowered, None):
-        try:
-            ca = stage.cost_analysis() if stage is not None else (
-                lowered.compile().cost_analysis()
-            )
-            if isinstance(ca, (list, tuple)):
-                ca = ca[0] if ca else {}
-            f = float((ca or {}).get("flops", 0.0))
-            if f > 0:
-                return f
-        except Exception:
-            continue
-    return 0.0
+        pass
+    return analytic_flops(jitted_fn, *args)
 
 
 def mfu(
