@@ -9,13 +9,16 @@ set -u
 cd "$(dirname "$0")/.."
 CONFIG=${1:-flagship_campaign}
 LAST_EPOCH=${2:-11}
-LOG=/tmp/campaign_r3
+shift 2 2>/dev/null || shift $# 2>/dev/null
+EXTRA=("$@")   # e.g. training_hyperparams.max_epochs=15 for an extension
+LOG=${CAMPAIGN_LOG_DIR:-/tmp/campaign_r3}
 mkdir -p "$LOG"
 
 for chunk in 0 1 2 3 4 5 6 7; do
+  [ -s "$LOG/chunk_$chunk.log" ] && continue   # resume driver: skip done chunks
   echo "=== chunk $chunk start $(date) ==="
   timeout 14400 python -m head_detector_tpu.train --config-name "$CONFIG" \
-    training_hyperparams.resume=true \
+    training_hyperparams.resume=true ${EXTRA[@]+"${EXTRA[@]}"} \
     > "$LOG/chunk_$chunk.log" 2>&1
   rc=$?
   echo "=== chunk $chunk exit $rc $(date) ==="
