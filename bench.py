@@ -426,20 +426,32 @@ def _bench_latency() -> float:
     # program for one image (e.g. 128/32)
     pre = int(os.environ.get("HDT_BENCH_PRE", "1000"))
     post = int(os.environ.get("HDT_BENCH_POST", "100"))
-    det = HeadDetector(model=MODEL, image_size=SIZE, pre_nms_max=pre,
-                       post_nms_max=post)
+    lat_mode = os.environ.get("HDT_BENCH_LAT")
+
+    class _Noop:
+        pass
+
+    det = _Noop() if lat_mode == "noop" else HeadDetector(
+        model=MODEL, image_size=SIZE, pre_nms_max=pre, post_nms_max=post
+    )
     rng = np.random.RandomState(0)
     image = rng.randint(0, 255, (480, SIZE, 3), dtype=np.uint8)
 
-    lat_mode = os.environ.get("HDT_BENCH_LAT")
-    if lat_mode in ("device", "forward"):
+    if lat_mode in ("device", "forward", "noop"):
         import jax
         import jax.numpy as jnp
 
         from head_detector_tpu.ops.letterbox import letterbox
 
-        img, (pad_l, pad_t), scale = letterbox(jnp.asarray(image), SIZE)
-        if lat_mode == "forward":
+        if lat_mode == "noop":
+            # harness floor: the dispatch+sync round trip of a trivial
+            # program — no detector anywhere. On the axon relay this is
+            # the lower bound ANY p50 above inherits; on a PCIe-attached
+            # TPU VM host it is ~0.1 ms.
+            det._detect = jax.jit(lambda x: x + 1.0)
+            args = (jnp.zeros((8,), jnp.float32),)
+        elif lat_mode == "forward":
+            img, (pad_l, pad_t), scale = letterbox(jnp.asarray(image), SIZE)
             # component isolation: the conv forward alone (scores out)
             fwd = jax.jit(
                 lambda x: det._model.apply(det._variables, x, train=False)[0].scores
@@ -447,6 +459,7 @@ def _bench_latency() -> float:
             det._detect = fwd
             args = (img,)
         else:
+            img, (pad_l, pad_t), scale = letterbox(jnp.asarray(image), SIZE)
             args = (
                 img,
                 jnp.float32(0.5),
@@ -456,6 +469,17 @@ def _bench_latency() -> float:
         for _ in range(max(WARMUP, 2)):
             out = det._detect(*args)
         jax.block_until_ready(out)
+        if os.environ.get("HDT_BENCH_PIPELINED"):
+            # per-call DEVICE occupancy: dispatch N calls back-to-back and
+            # sync once — the per-call dispatch round trip overlaps with
+            # device compute, so the amortized time is the device-side cost
+            # a queue-fed server pays per image (RTT excluded).
+            n = max(ITERS, 50)
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = det._detect(*args)
+            jax.block_until_ready(out)
+            return (time.perf_counter() - t0) * 1000.0 / n
         times = []
         for _ in range(max(ITERS, 50)):
             t0 = time.perf_counter()
@@ -500,7 +524,10 @@ def main():
         p50_ms = _bench_latency()
         flavor = {
             "device": "device program", "forward": "forward only",
+            "noop": "noop dispatch floor",
         }.get(os.environ.get("HDT_BENCH_LAT", ""), "e2e HeadDetector")
+        if os.environ.get("HDT_BENCH_PIPELINED"):
+            flavor += ", pipelined"
         if os.environ.get("HDT_BENCH_PRE") or os.environ.get("HDT_BENCH_POST"):
             flavor += (
                 f", nms {os.environ.get('HDT_BENCH_PRE', '1000')}"

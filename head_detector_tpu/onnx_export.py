@@ -25,8 +25,14 @@ end-to-end without the package:
 4. **Verification**: with no onnxruntime available, :func:`run_onnx`
    executes the exported graph with a numpy/torch-functional interpreter —
    output parity vs the mirror AND the flax model is asserted in
-   ``tests/test_onnx_export.py``.  (TensorRT / INT8 PTQ are GPU-runtime
-   formats with no TPU counterpart — out of scope, see PARITY.md.)
+   ``tests/test_onnx_export.py``.
+5. **Quantized legs** (``quantize='int8'|'fp16'``, :func:`quantize_graph`):
+   the reference's export ``quantization_mode`` (INT8 PTQ / FP16,
+   ``exportable_mesh_model.py:175-184``) as portable weight-QDQ ONNX
+   (per-channel int8 initializers + DequantizeLinear) or f16 initializers +
+   Cast — calibration/fake-quant accuracy lives in
+   ``head_detector_tpu/quantization.py``.  (TensorRT engines are a
+   GPU-vendor runtime with no TPU counterpart — out of scope, PARITY.md.)
 """
 
 from __future__ import annotations
@@ -107,11 +113,14 @@ class _Reader:
 
 # ONNX TensorProto data types
 _DT_FLOAT, _DT_INT64, _DT_INT32, _DT_BOOL = 1, 7, 6, 9
+_DT_INT8, _DT_FLOAT16 = 3, 10
 _NP_TO_DT = {
     np.dtype(np.float32): _DT_FLOAT,
     np.dtype(np.int64): _DT_INT64,
     np.dtype(np.int32): _DT_INT32,
     np.dtype(np.bool_): _DT_BOOL,
+    np.dtype(np.int8): _DT_INT8,
+    np.dtype(np.float16): _DT_FLOAT16,
 }
 _DT_TO_NP = {v: k for k, v in _NP_TO_DT.items()}
 
@@ -329,12 +338,65 @@ def _const_value(node) -> Any:
     return getattr(node, kind)("value")
 
 
+def quantize_graph(graph: "OnnxGraph", mode: str = "int8") -> int:
+    """Post-pass: convert Conv weight initializers to the requested
+    quantized storage — the reference's export ``quantization_mode``
+    (``exportable_mesh_model.py:175-184``) re-done as standard portable
+    ONNX instead of a TensorRT engine:
+
+    * ``int8``: per-output-channel symmetric int8 initializer +
+      ``DequantizeLinear`` (weight-QDQ form; axis 0 = OIHW out channels).
+    * ``fp16``: float16 initializer + ``Cast`` back to float.
+
+    Inserted nodes are prepended (their inputs are initializers only, so
+    topological order is preserved).  Returns the number of weights
+    converted.  ConvTranspose weights are left in f32: their ONNX layout
+    puts output channels on axis 1 of a grouped tensor — the reference's
+    selective quantizer exempts odd layouts the same way."""
+    from head_detector_tpu.quantization import quantize_array
+
+    new_nodes: List[Dict] = []
+    count = 0
+    for node in graph.nodes:
+        if node["op"] != "Conv":
+            continue
+        wname = node["inputs"][1]
+        w = graph.initializers.get(wname)
+        if w is None or w.dtype != np.float32:
+            continue
+        count += 1
+        if mode == "fp16":
+            graph.initializers[wname + "_f16"] = w.astype(np.float16)
+            del graph.initializers[wname]
+            new_nodes.append({
+                "op": "Cast", "inputs": [wname + "_f16"],
+                "outputs": [wname], "attrs": {"to": _DT_FLOAT},
+            })
+        elif mode == "int8":
+            q, scale = quantize_array(w, axis=0)
+            graph.initializers[wname + "_q8"] = q
+            graph.initializers[wname + "_scale"] = (
+                scale.reshape(-1).astype(np.float32)
+            )
+            del graph.initializers[wname]
+            new_nodes.append({
+                "op": "DequantizeLinear",
+                "inputs": [wname + "_q8", wname + "_scale"],
+                "outputs": [wname], "attrs": {"axis": 0},
+            })
+        else:
+            raise ValueError(f"unknown quantize mode {mode!r}")
+    graph.nodes[:0] = new_nodes
+    return count
+
+
 def export_onnx(
     model_name: str,
     variables: Optional[dict] = None,
     image_size: Tuple[int, int] = (640, 640),
     path: Optional[str] = None,
     mirror=None,
+    quantize: Optional[str] = None,
 ) -> OnnxGraph:
     """Export the detection graph as ONNX via the torch mirror.
 
@@ -342,6 +404,8 @@ def export_onnx(
         mirror's default init)
     :param mirror: optional prebuilt TorchYoloHeads (overrides model_name /
         variables weight sourcing)
+    :param quantize: None | 'int8' | 'fp16' — see :func:`quantize_graph`
+        (the reference's export quantization_mode)
     :return: the in-memory OnnxGraph (also written to ``path`` if given)
     """
     import torch
@@ -680,6 +744,9 @@ def export_onnx(
         else:
             raise NotImplementedError(f"untranslated op {kind}: {node}")
 
+    if quantize:
+        quantize_graph(og, mode=quantize)
+
     if path:
         with open(path, "wb") as f:
             f.write(og.serialize())
@@ -789,6 +856,21 @@ def _exec_node(node: Dict, vals: Dict[str, np.ndarray]) -> None:
             y = x[tuple(idx)]
         elif op == "MatMul":
             y = torch.matmul(t(ins[0]), t(ins[1]))
+        elif op == "DequantizeLinear":
+            # weight-QDQ leg (quantize_graph): int8 q * per-channel scale
+            q = np.array(vals[ins[0]], np.float32)
+            scale = np.array(vals[ins[1]], np.float32)
+            axis = attrs.get("axis", 1)
+            if scale.ndim == 1 and q.ndim > 1:
+                shape = [1] * q.ndim
+                shape[axis] = scale.shape[0]
+                scale = scale.reshape(shape)
+            zp = np.array(vals[ins[2]], np.float32) if len(ins) > 2 else 0.0
+            y = torch.from_numpy((q - zp) * scale)
+        elif op == "Cast":
+            y = torch.from_numpy(
+                np.array(vals[ins[0]]).astype(_DT_TO_NP[attrs["to"]])
+            )
         else:
             raise NotImplementedError(f"interpreter op {op}")
         vals[outs[0]] = y.numpy()

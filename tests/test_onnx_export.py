@@ -90,3 +90,71 @@ def test_parity_vs_flax():
     np.testing.assert_allclose(np.asarray(decoded.scores), out[1], atol=1e-4)
     np.testing.assert_allclose(
         np.asarray(decoded.flame_params), out[2], atol=5e-2, rtol=1e-3)
+
+
+def test_int8_qdq_leg(exported):
+    """quantize='int8' (reference exportable_mesh_model.py:175-184): Conv
+    weights become per-channel int8 + DequantizeLinear.  The QDQ graph must
+    (a) round-trip through serialization with int8 tensors intact, (b) run
+    in the interpreter, (c) match the f32 graph within int8 weight error,
+    and (d) match EXACTLY the f32 graph run with pre-dequantized weights
+    (DequantizeLinear semantics check)."""
+    mirror, graph, _ = exported
+    from head_detector_tpu.onnx_export import export_onnx as _export
+
+    g8 = _export("yolo_heads_n", image_size=(64, 64), mirror=mirror,
+                 quantize="int8")
+    dq_nodes = [n for n in g8.nodes if n["op"] == "DequantizeLinear"]
+    convs = [n for n in graph.nodes if n["op"] == "Conv"]
+    assert len(dq_nodes) == len(convs)
+
+    data = g8.serialize()
+    parsed = OnnxGraph.parse(data)
+    qs = [k for k in parsed.initializers if k.endswith("_q8")]
+    assert qs and all(parsed.initializers[k].dtype == np.int8 for k in qs)
+
+    x = np.random.RandomState(0).rand(1, 3, 64, 64).astype(np.float32)
+    ref = run_onnx(graph, {"image": x})
+    out = run_onnx(parsed, {"image": x})
+
+    # (d) exact DQL semantics: fold each DQL by hand, compare bit-identical
+    import copy
+    folded = copy.deepcopy(parsed)
+    for n in list(folded.nodes):
+        if n["op"] != "DequantizeLinear":
+            continue
+        q = folded.initializers[n["inputs"][0]].astype(np.float32)
+        scale = folded.initializers[n["inputs"][1]]
+        shape = [1] * q.ndim
+        shape[n["attrs"]["axis"]] = scale.shape[0]
+        folded.initializers[n["outputs"][0]] = q * scale.reshape(shape)
+        folded.nodes.remove(n)
+    out_folded = run_onnx(folded, {"image": x})
+    for a, b in zip(out, out_folded):
+        np.testing.assert_array_equal(a, b)
+
+    # (c) bounded drift vs f32 weights
+    np.testing.assert_allclose(ref[1], out[1], atol=5e-2)  # scores
+    box_scale = max(float(np.max(np.abs(ref[0]))), 1.0)
+    assert np.max(np.abs(ref[0] - out[0])) / box_scale < 5e-2
+
+
+def test_fp16_leg(exported):
+    """quantize='fp16': weights stored half precision + Cast back — the
+    reference's QuantizationMode.FP16 ('weights converted to half')."""
+    mirror, graph, _ = exported
+    from head_detector_tpu.onnx_export import export_onnx as _export
+
+    g16 = _export("yolo_heads_n", image_size=(64, 64), mirror=mirror,
+                  quantize="fp16")
+    parsed = OnnxGraph.parse(g16.serialize())
+    halves = [k for k in parsed.initializers if k.endswith("_f16")]
+    assert halves
+    assert all(parsed.initializers[k].dtype == np.float16 for k in halves)
+    casts = [n for n in parsed.nodes if n["op"] == "Cast"]
+    assert len(casts) == len(halves)
+
+    x = np.random.RandomState(0).rand(1, 3, 64, 64).astype(np.float32)
+    ref = run_onnx(graph, {"image": x})
+    out = run_onnx(parsed, {"image": x})
+    np.testing.assert_allclose(ref[1], out[1], atol=1e-2)
