@@ -265,7 +265,14 @@ def main(argv=None) -> int:
 
     import torch
 
-    raw = torch.load(args.checkpoint, map_location="cpu", weights_only=False)
+    try:
+        raw = torch.load(args.checkpoint, map_location="cpu", weights_only=True)
+    except Exception:
+        # SG checkpoints are mostly plain tensor dicts; fall back to full
+        # pickle loading only for the ones that are not, with a notice —
+        # this CLI is an explicit user action on a checkpoint they chose.
+        print("note: weights_only=True failed; falling back to full pickle load")
+        raw = torch.load(args.checkpoint, map_location="cpu", weights_only=False)
     variables, notes = convert(raw, prefer_ema=args.ema)
 
     for n in notes:
