@@ -390,6 +390,64 @@ def quantize_graph(graph: "OnnxGraph", mode: str = "int8") -> int:
     return count
 
 
+def attach_pre_nms_topk(graph: "OnnxGraph", k: int) -> None:
+    """Append the reference's export decoding module to the graph.
+
+    Functional spec ``yolo_head_training/yolo_head/yolo_heads.py:47-86``
+    (``VGGHeadDecodingModule``): select the top-``k`` anchors per image by
+    score and gather boxes/scores/flame at those indices, so the artifact
+    emits pre-NMS candidate sets ``[B, k, *]`` — the reference's actual
+    exported ONNX surface.  (Its ``attach_onnx_pose_nms`` stitching is dead
+    code: ``attach_nms_postprocessing`` is False on every branch of
+    ``exportable_mesh_model.py:342-390``; ``postprocessing=True`` exports
+    the top-k decoding module only.)
+
+    Appends ``TopK`` + ``GatherND(batch_dims=1)`` nodes and REPLACES the
+    graph outputs with ``pre_nms_boxes/pre_nms_scores/pre_nms_flame``.
+    """
+    (bname, bshape), (sname, sshape), (fname, fshape) = graph.outputs
+    num_anchors = int(sshape[1])
+    k = int(min(k, num_anchors))
+    graph.initializers["pre_nms_k"] = np.asarray([k], np.int64)
+
+    score_2d = sname
+    if len(sshape) == 3:  # [B, A, 1] -> [B, A] for TopK over anchors
+        graph.initializers["pre_nms_shape2d"] = np.asarray(
+            [int(sshape[0]), num_anchors], np.int64
+        )
+        graph.nodes.append({
+            "op": "Reshape", "inputs": [sname, "pre_nms_shape2d"],
+            "outputs": ["pre_nms_scores2d"], "attrs": {},
+        })
+        score_2d = "pre_nms_scores2d"
+    graph.nodes.append({
+        "op": "TopK", "inputs": [score_2d, "pre_nms_k"],
+        "outputs": ["pre_nms_scores_topk", "pre_nms_idx"],
+        "attrs": {"axis": 1, "largest": 1, "sorted": 1},
+    })
+    graph.initializers["pre_nms_unsq_axes"] = np.asarray([2], np.int64)
+    graph.nodes.append({
+        "op": "Unsqueeze", "inputs": ["pre_nms_idx", "pre_nms_unsq_axes"],
+        "outputs": ["pre_nms_idx3"], "attrs": {},
+    })
+    new_outputs = []
+    for src, shape, out in (
+        (bname, bshape, "pre_nms_boxes"),
+        (sname, sshape, "pre_nms_scores"),
+        (fname, fshape, "pre_nms_flame"),
+    ):
+        if out == "pre_nms_scores" and len(sshape) == 2:
+            # [B, A] scores: the sorted TopK values ARE the gathered scores
+            new_outputs.append(("pre_nms_scores_topk", [int(shape[0]), k]))
+            continue
+        graph.nodes.append({
+            "op": "GatherND", "inputs": [src, "pre_nms_idx3"],
+            "outputs": [out], "attrs": {"batch_dims": 1},
+        })
+        new_outputs.append((out, [int(shape[0]), k] + [int(d) for d in shape[2:]]))
+    graph.outputs = new_outputs
+
+
 def export_onnx(
     model_name: str,
     variables: Optional[dict] = None,
@@ -397,6 +455,7 @@ def export_onnx(
     path: Optional[str] = None,
     mirror=None,
     quantize: Optional[str] = None,
+    pre_nms_top_k: Optional[int] = None,
 ) -> OnnxGraph:
     """Export the detection graph as ONNX via the torch mirror.
 
@@ -744,6 +803,8 @@ def export_onnx(
         else:
             raise NotImplementedError(f"untranslated op {kind}: {node}")
 
+    if pre_nms_top_k:
+        attach_pre_nms_topk(og, pre_nms_top_k)
     if quantize:
         quantize_graph(og, mode=quantize)
 
@@ -871,6 +932,24 @@ def _exec_node(node: Dict, vals: Dict[str, np.ndarray]) -> None:
             y = torch.from_numpy(
                 np.array(vals[ins[0]]).astype(_DT_TO_NP[attrs["to"]])
             )
+        elif op == "TopK":
+            kk = int(np.asarray(vals[ins[1]]).reshape(-1)[0])
+            v, idx = torch.topk(
+                t(ins[0]), kk, dim=attrs.get("axis", -1),
+                largest=bool(attrs.get("largest", 1)),
+                sorted=bool(attrs.get("sorted", 1)),
+            )
+            vals[outs[0]] = v.numpy()
+            vals[outs[1]] = idx.numpy().astype(np.int64)
+            return
+        elif op == "GatherND":
+            data = np.array(vals[ins[0]])
+            idx = np.asarray(vals[ins[1]], np.int64)
+            assert int(attrs.get("batch_dims", 0)) == 1, attrs
+            y = torch.from_numpy(np.stack([
+                data[i][tuple(np.moveaxis(idx[i], -1, 0))]
+                for i in range(data.shape[0])
+            ]))
         else:
             raise NotImplementedError(f"interpreter op {op}")
         vals[outs[0]] = y.numpy()

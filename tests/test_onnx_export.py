@@ -158,3 +158,32 @@ def test_fp16_leg(exported):
     ref = run_onnx(graph, {"image": x})
     out = run_onnx(parsed, {"image": x})
     np.testing.assert_allclose(ref[1], out[1], atol=1e-2)
+
+
+def test_pre_nms_topk_leg(exported):
+    """pre_nms_top_k: the reference's export decoding module
+    (yolo_heads.py:47-86) — top-k anchors by score, boxes/scores/flame
+    gathered at those indices, emitted as the graph outputs."""
+    mirror, graph, _ = exported
+    from head_detector_tpu.onnx_export import export_onnx as _export
+
+    k = 20
+    g = _export("yolo_heads_n", image_size=(64, 64), mirror=mirror,
+                pre_nms_top_k=k)
+    parsed = OnnxGraph.parse(g.serialize())
+    assert [n for n, _ in parsed.outputs] == [
+        "pre_nms_boxes", "pre_nms_scores", "pre_nms_flame"]
+
+    x = np.random.RandomState(1).rand(1, 3, 64, 64).astype(np.float32)
+    dense = run_onnx(graph, {"image": x})
+    out = run_onnx(parsed, {"image": x})
+
+    scores = dense[1].reshape(dense[1].shape[0], -1)  # [B, A]
+    for b in range(scores.shape[0]):
+        order = np.argsort(-scores[b], kind="stable")[:k]
+        np.testing.assert_array_equal(out[0][b], dense[0][b][order])
+        np.testing.assert_allclose(
+            np.asarray(out[1][b]).reshape(-1), scores[b][order])
+        np.testing.assert_array_equal(out[2][b], dense[2][b][order])
+    # sorted descending
+    assert (np.diff(np.asarray(out[1]).reshape(-1)) <= 0).all()
