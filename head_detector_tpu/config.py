@@ -138,6 +138,7 @@ def run_config_from_dict(cfg: Dict[str, Any]) -> RunConfig:
         num_workers=ds.get("num_workers", 4),
         max_epochs=hp.get("max_epochs", 50),
         epochs_per_run=hp.get("epochs_per_run"),
+        ckpt_max_to_keep=hp.get("ckpt_max_to_keep", 10),
         mixed_precision=hp.get("mixed_precision", True),
         ckpt_dir=cfg.get("ckpt_root_dir", "checkpoints")
         + "/"

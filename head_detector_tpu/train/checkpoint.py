@@ -10,7 +10,12 @@ optimizer state, BN stats, step) with:
 * :func:`save` / :func:`restore` — resume-exact round trip,
 * :func:`restore_key_matching` — name-intersection partial restore (shape-
   checked), the ``key_matching`` equivalent for warm starts,
-* best-metric tracking helper mirroring ``metric_to_watch`` semantics.
+* best-metric tracking helper mirroring ``metric_to_watch`` semantics,
+* a per-save ``metrics.jsonl`` history + :func:`average_trees`, backing the
+  reference's ``average_best_models: True`` (SG ModelWeightAveraging: the
+  shipping model is the uniform weight-average of the N best checkpoints by
+  ``metric_to_watch``, ``vgg_head_train_params.yaml``) — applied post-hoc by
+  ``tools/eval_checkpoint.py --average-best N``.
 """
 
 from __future__ import annotations
@@ -32,7 +37,7 @@ class CheckpointManager:
     """Thin orbax wrapper with best-metric bookkeeping."""
 
     def __init__(self, ckpt_dir: str, metric_to_watch: str = "KeypointsNME",
-                 greater_is_better: bool = False, max_to_keep: int = 3):
+                 greater_is_better: bool = False, max_to_keep: int = 10):
         self.ckpt_dir = os.path.abspath(ckpt_dir)
         os.makedirs(self.ckpt_dir, exist_ok=True)
         self.metric_to_watch = metric_to_watch
@@ -42,11 +47,17 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
         )
         self._best_path = os.path.join(self.ckpt_dir, "best.json")
+        self._history_path = os.path.join(self.ckpt_dir, "metrics.jsonl")
 
     def save(self, step: int, tree: Dict[str, Any],
              metrics: Optional[Dict[str, float]] = None) -> None:
         self._mgr.save(step, args=ocp.args.StandardSave(_to_host(tree)))
         self._mgr.wait_until_finished()
+        if metrics:
+            with open(self._history_path, "a") as f:
+                json.dump({"step": int(step),
+                           **{k: float(v) for k, v in metrics.items()}}, f)
+                f.write("\n")
         if metrics and self.metric_to_watch in metrics:
             value = float(metrics[self.metric_to_watch])
             best = self.best_metric()
@@ -73,6 +84,25 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def metrics_history(self) -> list:
+        """Per-save metric records ``[{"step": s, <metric>: v, ...}, ...]``."""
+        if not os.path.isfile(self._history_path):
+            return []
+        with open(self._history_path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def best_steps(self, k: int) -> list:
+        """The up-to-k best ON-DISK steps by ``metric_to_watch`` (the SG
+        ``average_best_models`` selection set)."""
+        on_disk = set(self._mgr.all_steps())
+        recs = [r for r in self.metrics_history()
+                if self.metric_to_watch in r and r["step"] in on_disk]
+        # one record per step (a resumed epoch may re-log): keep the last
+        by_step = {r["step"]: r[self.metric_to_watch] for r in recs}
+        ranked = sorted(by_step, key=lambda s: by_step[s],
+                        reverse=self.greater_is_better)
+        return ranked[:k]
+
     def restore(self, step: Optional[int] = None,
                 target: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
         step = step if step is not None else self._mgr.latest_step()
@@ -86,6 +116,26 @@ class CheckpointManager:
 
     def close(self):
         self._mgr.close()
+
+
+def average_trees(trees: list) -> Dict[str, Any]:
+    """Uniform leaf-wise average of parameter trees (SG ModelWeightAveraging
+    semantics: the ``average_model`` is the plain mean of the selected best
+    checkpoints' weights).  Non-float leaves (e.g. step counters) take the
+    first tree's value."""
+    if not trees:
+        raise ValueError("average_trees needs at least one tree")
+
+    def avg(*leaves):
+        first = np.asarray(leaves[0])
+        if not np.issubdtype(first.dtype, np.floating):
+            return first
+        acc = np.zeros(first.shape, np.float64)
+        for leaf in leaves:
+            acc += np.asarray(leaf, np.float64)
+        return (acc / len(leaves)).astype(first.dtype)
+
+    return jax.tree_util.tree_map(avg, *trees)
 
 
 def restore_key_matching(

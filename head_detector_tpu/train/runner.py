@@ -50,6 +50,10 @@ class RunConfig:
     pretrained_weights: Optional[str] = None  # msgpack path, key_matching load
     metric_to_watch: str = "KeypointsNME"
     greater_metric_to_watch_is_better: bool = False
+    # orbax retention window; size it >= the campaign length when the best
+    # checkpoint must outlive later (worse) epochs and when post-hoc
+    # average_best_models selection needs the candidate set on disk
+    ckpt_max_to_keep: int = 10
     log_every: int = 50
     # compact wire format: uint8 images + (dense wire only) f16 GT vertex
     # transfer, restored to f32 on device inside the train step (~4x less
@@ -157,6 +161,7 @@ class Trainer:
             cfg.ckpt_dir,
             metric_to_watch=cfg.metric_to_watch,
             greater_is_better=cfg.greater_metric_to_watch_is_better,
+            max_to_keep=cfg.ckpt_max_to_keep,
         )
         self.metrics_factory = metrics_factory or self._default_metrics
         self.history: List[Dict[str, float]] = []

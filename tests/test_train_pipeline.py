@@ -260,3 +260,30 @@ def test_compact_wire_matches_full_precision(flame):
     lf, lc = float(comps_full["loss"]), float(comps_compact["loss"])
     assert np.isfinite(lc)
     assert abs(lf - lc) < 0.02 * max(abs(lf), 1.0), (lf, lc)
+
+
+def test_checkpoint_metrics_history_and_average_best(tmp_path):
+    import numpy as np
+
+    from head_detector_tpu.train.checkpoint import average_trees
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=3)
+    trees = {}
+    # four saves with NME 5, 3, 4, 6 — max_to_keep=3 drops step 1 (the best!)
+    for step, nme in [(1, 5.0), (2, 3.0), (3, 4.0), (4, 6.0)]:
+        tree = {"params": {"w": np.full((2,), float(step), np.float32)},
+                "step": np.asarray(step)}
+        trees[step] = tree
+        mgr.save(step, tree, metrics={"KeypointsNME": nme})
+
+    hist = mgr.metrics_history()
+    assert [r["step"] for r in hist] == [1, 2, 3, 4]
+    assert hist[1]["KeypointsNME"] == 3.0
+    # retention: only the last 3 survive on disk; best_steps respects that
+    assert mgr.best_steps(2) == [2, 3]
+    assert mgr.best_steps(10) == [2, 3, 4]
+    mgr.close()
+
+    avg = average_trees([trees[2], trees[3]])
+    np.testing.assert_allclose(avg["params"]["w"], [2.5, 2.5])
+    assert int(avg["step"]) == 2  # non-float leaves: first tree wins

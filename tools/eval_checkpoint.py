@@ -90,6 +90,11 @@ def main(argv=None) -> int:
                          "kind) as a flax msgpack for HeadDetector/bench")
     ap.add_argument("--no-eval", action="store_true",
                     help="skip metric evaluation (export-only)")
+    ap.add_argument("--average-best", type=int, default=0, metavar="N",
+                    help="score the uniform weight-average of the N best "
+                         "on-disk checkpoints by the watched metric — the "
+                         "reference's average_best_models: True (SG "
+                         "ModelWeightAveraging); overrides --step")
     args = ap.parse_args(argv)
 
     import orbax.checkpoint as ocp
@@ -100,10 +105,28 @@ def main(argv=None) -> int:
 
     args.ckpt_dir = os.path.abspath(args.ckpt_dir)  # orbax requires absolute
     steps = sorted(int(d) for d in os.listdir(args.ckpt_dir) if d.isdigit())
-    step = args.step if args.step is not None else steps[-1]
-    restored = ocp.PyTreeCheckpointer().restore(
-        os.path.join(args.ckpt_dir, str(step), "default")
-    )
+    ckptr = ocp.PyTreeCheckpointer()
+    if args.average_best > 0:
+        from head_detector_tpu.train.checkpoint import (
+            CheckpointManager, average_trees,
+        )
+
+        mgr = CheckpointManager(args.ckpt_dir)
+        best = mgr.best_steps(args.average_best)
+        mgr.close()
+        if not best:
+            print("no metric history / on-disk steps to average"); return 1
+        print(f"averaging {len(best)} best steps: {sorted(best)}")
+        restored = average_trees([
+            ckptr.restore(os.path.join(args.ckpt_dir, str(s), "default"))
+            for s in best
+        ])
+        step = f"avg{len(best)}:{'+'.join(str(s) for s in sorted(best))}"
+    else:
+        step = args.step if args.step is not None else steps[-1]
+        restored = ckptr.restore(
+            os.path.join(args.ckpt_dir, str(step), "default")
+        )
 
     model = build_model(args.arch)
     flame = FlameModel.from_assets()
