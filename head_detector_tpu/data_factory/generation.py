@@ -163,16 +163,21 @@ def parse_pose_heads(pose_image: np.ndarray, conf_threshold: float = 0.5
     image* (``generate_laion.py:77-90``), not keypoints — so a conditioning-
     honouring backend must read head placement back off the canvas.  The
     canvas is drawn with known joint colors (:func:`draw_bodypose`), so the
-    face joints are recoverable as color blobs: nose (joint 0) and the eyes
-    (joints 14/15) use the unique pure-red/magenta family colors below.
-    Conditioning images ride disk as JPEG (``generate_laion.py:77``), so the
-    match is tolerance-based, not exact.  Returns one ``[cx, cy, size]``
-    array per detected head, where ``size`` is a head-diameter estimate from
-    the face-joint spread (or the joint radius when only the nose is seen).
+    face joints are recoverable as color blobs.  The usable colors are the
+    ones that appear ONLY on faces: the eye/ear joints 14/15/16 and the
+    face-limb sticks 13-16 — colors 85/170/255-magenta family.  The nose
+    joint's (255,0,0) is NOT usable: the neck->shoulder limb stick is drawn
+    in the same color, which would turn every shoulder line into a phantom
+    head.  A cluster must show >=2 distinct face colors (a lone ankle joint
+    circle shares color (85,0,255) with the nose->eye stick, so a single
+    color is not evidence of a face).  Conditioning images ride disk as JPEG
+    (``generate_laion.py:77``), so the match is tolerance-based, not exact.
+    Returns one ``[cx, cy, size]`` array per detected head, where ``size``
+    is a head-diameter estimate from the face-joint spread.
     """
     del conf_threshold  # drawn joints already passed the draw threshold
-    face_colors = [LIMB_COLORS[0], LIMB_COLORS[14], LIMB_COLORS[15],
-                   LIMB_COLORS[16]]  # joint 17 shares LIMB_COLORS[0]
+    face_colors = [LIMB_COLORS[13], LIMB_COLORS[14], LIMB_COLORS[15],
+                   LIMB_COLORS[16]]  # (85|170|255,0,255), (255,0,170)
     img = pose_image.astype(np.int32)
     masks = []
     for color in face_colors:
@@ -189,7 +194,11 @@ def parse_pose_heads(pose_image: np.ndarray, conf_threshold: float = 0.5
     n, labels = cv2.connectedComponents(bridged)
     heads = []
     for lab in range(1, n):
-        ys, xs = np.nonzero((labels == lab) & (face_mask > 0))
+        in_cluster = (labels == lab) & (face_mask > 0)
+        distinct = sum(1 for m in masks if (m & in_cluster).any())
+        if distinct < 2:
+            continue
+        ys, xs = np.nonzero(in_cluster)
         if xs.size < 4:
             continue
         cx, cy = float(xs.mean()), float(ys.mean())
@@ -402,27 +411,35 @@ class DataGenerator:
         start, end = self._get_start_end_index(pose_images)
         written = []
         for index in range(start, end):
-            image_path = pose_images[index]
-            filename = os.path.splitext(os.path.basename(image_path))[0]
-            out_path = os.path.join(out_dir, f"{filename}.jpg")
-            if os.path.exists(out_path):
-                continue
-            pose_image = cv2.cvtColor(cv2.imread(image_path), cv2.COLOR_BGR2RGB)
-            if not self.valid_image(pose_image):
-                continue
-            caption = annotations[filename]["caption"]
-            if self.caption_processor.model is not None and \
-                    self.caption_processor.contains_person(caption):
-                continue
-            caption = self.caption_processor.add_ethnic_labels(caption)
-            if self.rng.random() < 0.5:
-                caption = f"{caption}, ultra highres"
-            image = self.pipeline(caption, pose_image)
-            if self.safety_checker is not None and self.safety_checker(image):
-                continue
-            cv2.imwrite(out_path, cv2.cvtColor(image, cv2.COLOR_RGB2BGR),
-                        [cv2.IMWRITE_JPEG_QUALITY, 95])
-            written.append(out_path)
+            # per-image try/except: one bad input (unreadable image, missing
+            # caption) must not abort the bucket (ref generate_laion.py:68-97)
+            try:
+                image_path = pose_images[index]
+                filename = os.path.splitext(os.path.basename(image_path))[0]
+                out_path = os.path.join(out_dir, f"{filename}.jpg")
+                if os.path.exists(out_path):
+                    continue
+                pose_image = cv2.cvtColor(
+                    cv2.imread(image_path), cv2.COLOR_BGR2RGB
+                )
+                if not self.valid_image(pose_image):
+                    continue
+                caption = annotations[filename]["caption"]
+                if self.caption_processor.model is not None and \
+                        self.caption_processor.contains_person(caption):
+                    continue
+                caption = self.caption_processor.add_ethnic_labels(caption)
+                if self.rng.random() < 0.5:
+                    caption = f"{caption}, ultra highres"
+                image = self.pipeline(caption, pose_image)
+                if self.safety_checker is not None and \
+                        self.safety_checker(image):
+                    continue
+                cv2.imwrite(out_path, cv2.cvtColor(image, cv2.COLOR_RGB2BGR),
+                            [cv2.IMWRITE_JPEG_QUALITY, 95])
+                written.append(out_path)
+            except Exception as e:  # noqa: BLE001 — reference semantics
+                print(f"Error: {e}")
         return written
 
 

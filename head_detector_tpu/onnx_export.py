@@ -193,7 +193,8 @@ def _parse_attribute(payload: bytes):
         elif field == 20:
             atype = val
     if atype == _ATTR_INTS:
-        return name, list(ints)
+        # same unsigned-varint sign correction as the single-INT case
+        return name, [v - (1 << 64) if v >= (1 << 63) else v for v in ints]
     if atype == _ATTR_INT:
         # varints are unsigned on the wire; ONNX ints are int64
         return name, ival - (1 << 64) if ival >= (1 << 63) else ival
@@ -355,6 +356,8 @@ def quantize_graph(graph: "OnnxGraph", mode: str = "int8") -> int:
     selective quantizer exempts odd layouts the same way."""
     from head_detector_tpu.quantization import quantize_array
 
+    if mode not in ("int8", "fp16"):
+        raise ValueError(f"unknown quantize mode {mode!r}")
     new_nodes: List[Dict] = []
     count = 0
     for node in graph.nodes:
@@ -700,6 +703,11 @@ def export_onnx(
             k = const_of(ins[1])
             stride = const_of(ins[2]) or k
             padding = const_of(ins[3])
+            dilation = const_of(ins[4]) if len(ins) > 4 else None
+            ceil_mode = const_of(ins[5]) if len(ins) > 5 else 0
+            assert not ceil_mode and (
+                dilation is None or all(d == 1 for d in np.atleast_1d(dilation))
+            ), "max_pool2d: dilation>1 / ceil_mode not translated"
             (o,) = emit("MaxPool", [as_rt(ins[0])], attrs={
                 "kernel_shape": k, "strides": stride,
                 "pads": list(padding) + list(padding),

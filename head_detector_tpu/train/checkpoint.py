@@ -85,18 +85,29 @@ class CheckpointManager:
         return self._mgr.latest_step()
 
     def metrics_history(self) -> list:
-        """Per-save metric records ``[{"step": s, <metric>: v, ...}, ...]``."""
+        """Per-save metric records ``[{"step": s, <metric>: v, ...}, ...]``.
+        Tolerates a truncated record (a chunk kill can land mid-append)."""
         if not os.path.isfile(self._history_path):
             return []
+        out = []
         with open(self._history_path) as f:
-            return [json.loads(line) for line in f if line.strip()]
+            for line in f:
+                if not line.strip():
+                    continue
+                try:
+                    out.append(json.loads(line))
+                except json.JSONDecodeError:
+                    continue
+        return out
 
     def best_steps(self, k: int) -> list:
         """The up-to-k best ON-DISK steps by ``metric_to_watch`` (the SG
-        ``average_best_models`` selection set)."""
+        ``average_best_models`` selection set).  Non-finite metric values
+        (a diverged epoch) are excluded."""
         on_disk = set(self._mgr.all_steps())
         recs = [r for r in self.metrics_history()
-                if self.metric_to_watch in r and r["step"] in on_disk]
+                if r.get("step") in on_disk
+                and np.isfinite(r.get(self.metric_to_watch, np.nan))]
         # one record per step (a resumed epoch may re-log): keep the last
         by_step = {r["step"]: r[self.metric_to_watch] for r in recs}
         ranked = sorted(by_step, key=lambda s: by_step[s],

@@ -144,6 +144,24 @@ class ParamSample:
         )
 
 
+def rot_mat_from_6dof_np(v: np.ndarray) -> np.ndarray:
+    """Numpy twin of ``ops.rotation.rot_mat_from_6dof`` (same Gram-Schmidt,
+    same column layout).  The host augmentation path must stay off the
+    accelerator: an eager jnp call here would dispatch one tiny program per
+    sample from the loader threads (over the remote relay on axon) — the
+    exact pattern the round-2 upload-leak notes warn about."""
+    vx, vy = v[..., :3], v[..., 3:6]
+
+    def _normalize(x):
+        n = np.linalg.norm(x, axis=-1, keepdims=True)
+        return x / np.maximum(n, 1e-12)
+
+    b1 = _normalize(vx)
+    b3 = _normalize(np.cross(b1, vy))
+    b2 = -np.cross(b1, b3)
+    return np.stack((b1, b2, b3), axis=-1)
+
+
 def apply_conformal_to_params(
     params: np.ndarray, offsets: np.ndarray, amat: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -160,9 +178,7 @@ def apply_conformal_to_params(
 
     out = params.astype(np.float32, copy=True)
     if len(out):
-        r_old = np.asarray(
-            rot_mat_from_6dof(jnp.asarray(out[:, _ROT6], np.float32))
-        ).astype(np.float64)
+        r_old = rot_mat_from_6dof_np(out[:, _ROT6].astype(np.float64))
         r_new = q3[None] @ r_old
         # 6dof = first two COLUMNS of R flattened (rot_mat_from_6dof layout)
         out[:, _ROT6] = r_new[:, :, :2].transpose(0, 2, 1).reshape(-1, 6)
@@ -204,7 +220,15 @@ class ConformalAugs:
     Semantics follow ``default_train_transforms`` (rot90 p=.5, random affine
     p=.5 with rot<=45 / scale .5-2 / translate .1, pad 127); rot90 is applied
     exactly via ``np.rot90`` (no resample), the residual affine via ONE
-    ``cv2.warpAffine``.
+    ``cv2.warpAffine``.  Non-square / off-size inputs are folded to
+    ``image_size`` x ``image_size`` by a longest-max-size scale + pad
+    (``mesh_longest_max_size.py`` + ``mesh_pad_if_needed.py`` semantics) —
+    one more conformal factor in the same affine.
+
+    Thread-safe determinism: callers should pass a per-call ``rng`` (the
+    dataset derives one per (index, pass) — see
+    :meth:`RenderedHeadsDataset.__getitem__`); the shared ``self.rng`` is
+    only the single-threaded fallback.
     """
 
     def __init__(
@@ -229,8 +253,9 @@ class ConformalAugs:
         self.pad_value = pad_value
         self.rng = rng or np.random.RandomState()
 
-    def __call__(self, sample: ParamSample) -> ParamSample:
-        r = self.rng
+    def __call__(self, sample: ParamSample,
+                 rng: Optional[np.random.RandomState] = None) -> ParamSample:
+        r = rng if rng is not None else self.rng
         img = sample.image
         h, w = img.shape[:2]
 
@@ -267,6 +292,24 @@ class ConformalAugs:
             [mat[:, :2] @ amat90[:, :2],
              (mat[:, :2] @ amat90[:, 2] + mat[:, 2])[:, None]]
         )
+
+        # longest-max-size + pad to the square target canvas (identity for
+        # pre-rendered square inputs at image_size)
+        s = self.image_size
+        if (h, w) != (s, s):
+            c = s / max(h, w)
+            fit = np.array([[c, 0.0, 0.0], [0.0, c, 0.0]])
+            value = tuple([self.pad_value] * img.shape[-1])
+            img = cv2.warpAffine(
+                img, fit, (s, s), flags=cv2.INTER_LINEAR,
+                borderMode=cv2.BORDER_CONSTANT, borderValue=value,
+            )
+            total = np.hstack(
+                [fit[:, :2] @ total[:, :2],
+                 (fit[:, :2] @ total[:, 2] + fit[:, 2])[:, None]]
+            )
+            h = w = s
+
         params, offsets = apply_conformal_to_params(
             sample.params, sample.offsets, total
         )
@@ -296,6 +339,7 @@ class RenderedHeadsDataset:
         augs: Optional[ConformalAugs] = None,
         photometric=None,
         min_bbox_area: float = 9.0,
+        aug_seed: int = 0,
     ):
         from head_detector_tpu.train.dataset import DAD3DHeadsDataset
 
@@ -314,9 +358,26 @@ class RenderedHeadsDataset:
         self.augs = augs
         self.photometric = photometric
         self.min_bbox_area = min_bbox_area
+        self.aug_seed = aug_seed
+        # per-index serve counts: each index is served once per epoch, so
+        # (index, count) seeds are deterministic regardless of which
+        # _Prefetcher pool thread runs the call (np.random.RandomState is not
+        # thread-safe to share)
+        import threading
+
+        self._serve_counts = {}
+        self._serve_lock = threading.Lock()
 
     def __len__(self):
         return len(self.images)
+
+    def _rng_for(self, index: int) -> np.random.RandomState:
+        with self._serve_lock:
+            count = self._serve_counts.get(index, 0)
+            self._serve_counts[index] = count + 1
+        return np.random.RandomState(
+            (self.aug_seed * 1000003 + index * 7919 + count * 104729) % (2 ** 31)
+        )
 
     def __getitem__(self, index: int) -> ParamSample:
         image = cv2.imread(self.images[index], cv2.IMREAD_COLOR)
@@ -331,7 +392,7 @@ class RenderedHeadsDataset:
             image = self.photometric(image)
         sample = ParamSample(image, params, ext[:, :2].copy(), bboxes)
         if self.augs is not None:
-            sample = self.augs(sample)
+            sample = self.augs(sample, rng=self._rng_for(index))
         return sample.filter_by_bbox_area(self.min_bbox_area)
 
 

@@ -119,6 +119,12 @@ def test_parse_pose_heads_recovers_conditioned_faces():
         kp[16] = (cx - 2 * r, cy - r, 1.0)
         kp[17] = (cx + 2 * r, cy - r, 1.0)
         kp[1] = (cx, cy + 6 * r, 1.0)  # neck
+        # shoulders + an arm: the neck->shoulder stick shares the nose
+        # joint's (255,0,0) — a body must NOT become a phantom head
+        kp[2] = (cx - 5 * r, cy + 7 * r, 1.0)
+        kp[5] = (cx + 5 * r, cy + 7 * r, 1.0)
+        kp[3] = (cx - 6 * r, cy + 12 * r, 1.0)
+        kp[13] = (cx + 2 * r, cy + 14 * r, 1.0)  # ankle: shares a face color
         return kp
 
     draw_bodypose(canvas, face(60, 80, 6))

@@ -187,3 +187,22 @@ def test_pre_nms_topk_leg(exported):
         np.testing.assert_array_equal(out[2][b], dense[2][b][order])
     # sorted descending
     assert (np.diff(np.asarray(out[1]).reshape(-1)) <= 0).all()
+
+
+def test_attribute_negative_ints_roundtrip():
+    from head_detector_tpu.onnx_export import _attribute, _parse_attribute
+
+    name, vals = _parse_attribute(_attribute("perm", [0, 2, -1, -2]))
+    assert name == "perm" and vals == [0, 2, -1, -2]
+    name, val = _parse_attribute(_attribute("axis", -3))
+    assert name == "axis" and val == -3
+
+
+def test_quantize_graph_rejects_unknown_mode():
+    import pytest
+
+    from head_detector_tpu.onnx_export import OnnxGraph, quantize_graph
+
+    g = OnnxGraph()
+    with pytest.raises(ValueError, match="unknown quantize mode"):
+        quantize_graph(g, mode="int4")

@@ -265,3 +265,83 @@ def test_train_step_params_wire_matches_dense(flame, synth_dir):
         np.testing.assert_allclose(
             float(comps_d[k]), float(comps_p[k]), rtol=2e-3, atol=2e-4
         )
+
+
+def test_rot_mat_from_6dof_np_matches_jax():
+    import jax.numpy as jnp
+
+    from head_detector_tpu.ops.rotation import rot_mat_from_6dof
+    from head_detector_tpu.train.param_wire import rot_mat_from_6dof_np
+
+    v = np.random.RandomState(3).randn(64, 6).astype(np.float32)
+    r_np = rot_mat_from_6dof_np(v)
+    r_jax = np.asarray(rot_mat_from_6dof(jnp.asarray(v)))
+    np.testing.assert_allclose(r_np, r_jax, atol=2e-6)
+
+
+def test_conformal_augs_thread_deterministic():
+    """Per-(index, pass) aug seeding: the augmented sample stream must not
+    depend on _Prefetcher thread scheduling (shared RandomState was not
+    thread-safe and order-dependent)."""
+    import concurrent.futures as cf
+
+    from head_detector_tpu.train.param_wire import (
+        ConformalAugs, RenderedHeadsDataset,
+    )
+
+    class _DS(RenderedHeadsDataset):
+        def __init__(self, n, augs):  # bypass the disk reader
+            self.augs = augs
+            self.photometric = None
+            self.min_bbox_area = 0.0
+            self.aug_seed = 7
+            import threading
+
+            self._serve_counts = {}
+            self._serve_lock = threading.Lock()
+            self._n = n
+
+        def __len__(self):
+            return self._n
+
+        def __getitem__(self, index):
+            from head_detector_tpu.train.param_wire import ParamSample
+
+            rng = np.random.RandomState(index)
+            img = rng.randint(0, 255, (64, 64, 3), np.uint8)
+            params = rng.randn(2, 413).astype(np.float32) * 0.1
+            sample = ParamSample(
+                img, params, np.zeros((2, 2), np.float32),
+                np.array([[4, 4, 20, 20], [30, 30, 20, 20]], np.float32),
+            )
+            return self.augs(sample, rng=self._rng_for(index))
+
+    def run(order, workers):
+        ds = _DS(8, ConformalAugs(64))
+        with cf.ThreadPoolExecutor(workers) as pool:
+            out = list(pool.map(ds.__getitem__, order))
+        return {i: out[k] for k, i in enumerate(order)}
+
+    a = run(list(range(8)), 1)
+    b = run(list(reversed(range(8))), 4)
+    for i in range(8):
+        np.testing.assert_array_equal(a[i].image, b[i].image)
+        np.testing.assert_array_equal(a[i].params, b[i].params)
+
+
+def test_conformal_augs_folds_offsize_inputs_to_square():
+    from head_detector_tpu.train.param_wire import ConformalAugs, ParamSample
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (100, 160, 3), np.uint8)  # non-square
+    sample = ParamSample(
+        img, rng.randn(1, 413).astype(np.float32) * 0.1,
+        np.zeros((1, 2), np.float32),
+        np.array([[40, 30, 40, 40]], np.float32),
+    )
+    augs = ConformalAugs(64, rot90_prob=0.0, affine_prob=0.0,
+                         rng=np.random.RandomState(0))
+    out = augs(sample)
+    assert out.image.shape == (64, 64, 3)
+    # longest-max-size scale 64/160 = 0.4: the bbox scales conformally
+    np.testing.assert_allclose(out.bboxes_xywh[0], [16, 12, 16, 16], atol=1e-4)
