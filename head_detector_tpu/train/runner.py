@@ -89,29 +89,60 @@ class _Prefetcher:
         self.wire_dtype = wire_dtype
         self.collate_fn = collate_fn or collate_samples
 
+    def __len__(self):
+        """Number of batches one pass yields (tail included iff not drop_last)."""
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
     def __iter__(self):
         order = np.random.RandomState(self.seed).permutation(len(self.dataset))
-        n_batches = len(order) // self.batch_size
         q: "queue.Queue" = queue.Queue(maxsize=4)
+        stop = threading.Event()  # set by the consumer on early break
 
         def producer():
             import concurrent.futures as cf
 
-            with cf.ThreadPoolExecutor(self.num_workers) as pool:
-                for b in range(n_batches):
-                    idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
-                    samples = list(pool.map(self.dataset.__getitem__, idxs))
-                    q.put(self.collate_fn(samples, self.max_boxes,
-                                          wire_dtype=self.wire_dtype))
+            try:
+                with cf.ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in range(len(self)):
+                        idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                        samples = list(pool.map(self.dataset.__getitem__, idxs))
+                        item = self.collate_fn(samples, self.max_boxes,
+                                               wire_dtype=self.wire_dtype)
+                        while not stop.is_set():
+                            try:
+                                q.put(item, timeout=0.5)
+                                break
+                            except queue.Full:
+                                continue
+                        if stop.is_set():
+                            return
+            except BaseException as e:  # surface loader errors, don't hang
+                q.put(e)
+                return
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # consumer broke early (steps_per_epoch cap / exception): unblock
+            # and terminate the producer instead of leaking its pool + queue
+            stop.set()
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
 
 class Trainer:
@@ -140,9 +171,15 @@ class Trainer:
             variables, matched, total = restore_key_matching(variables, source)
             print(f"[trainer] key_matching restore: {matched}/{total} leaves")
 
-        steps_per_epoch = cfg.steps_per_epoch or max(
-            len(train_dataset) // cfg.batch_size, 1
-        )
+        data_batches = max(len(train_dataset) // cfg.batch_size, 1)
+        steps_per_epoch = cfg.steps_per_epoch or data_batches
+        if steps_per_epoch > data_batches:
+            # an over-ask would silently shorten epochs: resume arithmetic
+            # (step // steps_per_epoch) and the cosine length both assume
+            # every epoch runs exactly steps_per_epoch steps
+            print(f"[trainer] steps_per_epoch {steps_per_epoch} exceeds the "
+                  f"dataset's {data_batches} batches; clamping")
+            steps_per_epoch = data_batches
         self.steps_per_epoch = steps_per_epoch
         total_steps = steps_per_epoch * cfg.max_epochs
         self.train_cfg = dataclasses.replace(cfg.train, max_steps=total_steps)
@@ -235,15 +272,25 @@ class Trainer:
         """Decode the extreme batch with the current weights (boxes+scores)."""
         import jax.numpy as jnp
 
-        if not hasattr(self, "_viz_forward"):
-            self._viz_forward = jax.jit(
-                lambda v, x: self.model.apply(v, x, train=False)[0]
-            )
         variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
-        decoded = self._viz_forward(
+        decoded = self._forward_jit()(
             variables, jnp.asarray(images, jnp.float32) / 255.0
         )
         return np.asarray(decoded.boxes_xyxy), np.asarray(decoded.scores)[..., 0]
+
+    def _forward_jit(self):
+        """ONE jitted inference forward shared by validate() and the viz
+        callback — two separately-jitted identical lambdas would compile the
+        full detection graph twice (10-20 min each on axon, every chunk).
+        Variables enter as an ARGUMENT: capturing them in the closure would
+        bake the weights into the executable and recompile every epoch."""
+        import jax
+
+        if not hasattr(self, "_infer_jit"):
+            self._infer_jit = jax.jit(
+                lambda v, images: self.model.apply(v, images, train=False)[0]
+            )
+        return self._infer_jit
 
     def validate(self) -> Dict[str, float]:
         if self.val_dataset is None:
@@ -259,17 +306,9 @@ class Trainer:
         }
         import jax.numpy as jnp
 
-        if not hasattr(self, "_eval_forward"):
-            # variables enter as an ARGUMENT: capturing them in the closure
-            # would bake the weights into the executable and recompile every
-            # epoch
-            self._eval_forward = jax.jit(
-                lambda v, images: self.model.apply(v, images, train=False)[0]
-            )
-
         for images, targets in loader:
             imgs = jnp.asarray(images, jnp.float32) / 255.0
-            decoded = self._eval_forward(eval_vars, imgs)
+            decoded = self._forward_jit()(eval_vars, imgs)
             # metrics consume per-image MeshEstimationSample GT; rebuild the
             # minimal fields from the padded targets
             gt_samples = _targets_to_samples(images, targets)
@@ -329,16 +368,19 @@ class Trainer:
                     if self.tb is not None:
                         self.tb.log_scalars(c, int(self.state.step), prefix="train/")
                         self.tb.log_scalars({"images_per_sec": ips}, int(self.state.step))
-                if self.extreme_viz is not None:
-                    self.extreme_viz.update(
-                        float(comps["loss"]), images,
-                        np.asarray(targets.gt_bboxes),
-                        np.asarray(targets.pad_gt_mask)[..., 0],
-                        gt_keypoints=(
-                            np.asarray(targets.gt_vertices_2d)
-                            if hasattr(targets, "gt_vertices_2d") else None
-                        ),
-                    )
+                    if self.extreme_viz is not None:
+                        # sampled at the log cadence: a per-step float() on
+                        # the loss would block on the device every step and
+                        # defeat async dispatch of the train loop
+                        self.extreme_viz.update(
+                            c["loss"], images,
+                            np.asarray(targets.gt_bboxes),
+                            np.asarray(targets.pad_gt_mask)[..., 0],
+                            gt_keypoints=(
+                                np.asarray(targets.gt_vertices_2d)
+                                if hasattr(targets, "gt_vertices_2d") else None
+                            ),
+                        )
                 if cfg.steps_per_epoch and bi + 1 >= cfg.steps_per_epoch:
                     break
 

@@ -22,7 +22,13 @@ def main(paths):
         for line in open(path):
             m = VAL.search(line)
             if m:
-                vals[int(m.group(1))] = ast.literal_eval(m.group(2))
+                try:
+                    # literal_eval rejects bare nan/inf (a diverged epoch's
+                    # repr); substitute parseable sentinels first
+                    text = re.sub(r"\b(nan|inf)\b", "9e999", m.group(2))
+                    vals[int(m.group(1))] = ast.literal_eval(text)
+                except (ValueError, SyntaxError):
+                    continue
             m = STEP.search(line)
             if m:
                 ips.setdefault(int(m.group(1)), []).append(float(m.group(3)))

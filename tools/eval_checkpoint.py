@@ -27,7 +27,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def evaluate(variables, model, flame, dataset, batch_size=16, max_boxes=8):
+def evaluate(variables, model, flame, dataset, batch_size=16, max_boxes=30):
     import jax
     import jax.numpy as jnp
 
@@ -80,6 +80,9 @@ def main(argv=None) -> int:
     ap.add_argument("--val-length", type=int, default=64)
     ap.add_argument("--max-heads", type=int, default=3)
     ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--max-boxes", type=int, default=30,
+                    help="GT pad width (match the trainer's max_gt_boxes so "
+                         "crowd scenes are not silently truncated)")
     ap.add_argument("--which", choices=["raw", "ema", "both"], default="both")
     ap.add_argument("--data-dir", default=None,
                     help="VGGHeads-layout dataset root: score the on-disk "
@@ -158,7 +161,8 @@ def main(argv=None) -> int:
         if args.no_eval:
             continue
         result = evaluate(variables, model, flame, dataset,
-                          batch_size=args.batch_size)
+                          batch_size=args.batch_size,
+                          max_boxes=args.max_boxes)
         print(f"[step {step}] {kind}: {result}")
     return 0
 

@@ -205,11 +205,20 @@ def verify(
         iou = np.where(union > 0, inter / np.maximum(union, 1e-9), 1.0)
         min_iou = min(min_iou, float(iou.min()))
 
+        # gate on the POSED vertices (reproject_spatial_vertices[2]: rotated,
+        # scaled, translated projection) — the canonical vertices [0] are
+        # blind to the 6dof/translation/scale params 403:412, so a converter
+        # bug confined to the pose towers would pass a canonical-only gate.
+        # The L2 is RELATIVE to the coordinate magnitude: posed coords are
+        # image-pixel scale (~size px) for real weights, but a random-init
+        # self-test emits exp-clipped garbage scales (~e^15) that amplify
+        # benign f32 noise into huge absolute numbers.
         vf = np.asarray(reproject_spatial_vertices(
-            flame, jnp.asarray(ff[0, sel]), to_2d=False)[0])
+            flame, jnp.asarray(ff[0, sel]), to_2d=False)[2])
         vt = np.asarray(reproject_spatial_vertices(
-            flame, jnp.asarray(tf[0, sel]), to_2d=False)[0])
+            flame, jnp.asarray(tf[0, sel]), to_2d=False)[2])
         l2 = np.linalg.norm(vf - vt, axis=-1).max()
+        l2 = l2 / max(1.0, float(np.abs(vt).max()))
         max_vertex_l2 = max(max_vertex_l2, float(l2))
 
     report.update(
