@@ -65,6 +65,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-heads", type=int, default=3)
     ap.add_argument("--start", type=int, default=0, help="resume index")
+    ap.add_argument("--min-visibility", type=float, default=0.25,
+                    help="drop a head's annotation when less than this "
+                         "fraction of its solo pixels survives occlusion")
     args = ap.parse_args()
 
     import cv2
@@ -130,6 +133,7 @@ def main():
 
         image = make_background(rng, s)
         bboxes, exts = [], []
+        all_v = []
         for h in range(n):
             rv0 = verts[h] @ rots[h].T  # [V, 3] rotated canonical
             ext_xy = max(
@@ -155,18 +159,52 @@ def main():
             v_img = proj.copy()
             v_img[:, :2] += origin
             v_img[:, 2] *= -1.0  # camera-facing depth (PNCC path convention)
-
-            canvas, hit = rasterize_zbuffer_native(
-                np.ascontiguousarray(v_img, np.float32), faces, colors,
-                height=s, width=s,
-            )
-            m = hit.astype(bool)
-            image[m] = np.clip(canvas[m] * 255.0, 0, 255).astype(np.uint8)
+            all_v.append(np.ascontiguousarray(v_img, np.float32))
 
             x1, y1 = v_img[:, 0].min(), v_img[:, 1].min()
             x2, y2 = v_img[:, 0].max(), v_img[:, 1].max()
             bboxes.append([x1, y1, x2 - x1, y2 - y1])
             exts.append([origin[0], origin[1], 256.0, 256.0])
+
+        # ONE shared z-buffer across all heads: overlapping heads occlude by
+        # DEPTH (the old per-head compositing painted later heads over nearer
+        # earlier ones regardless of depth).
+        nv = all_v[0].shape[0]
+        scene_v = np.concatenate(all_v, 0)
+        scene_f = np.concatenate([faces + h * nv for h in range(n)], 0)
+        scene_c = np.concatenate([colors] * n, 0)
+        canvas, hit = rasterize_zbuffer_native(
+            scene_v, scene_f, scene_c, height=s, width=s)
+        m = hit.astype(bool)
+        image[m] = np.clip(canvas[m] * 255.0, 0, 255).astype(np.uint8)
+
+        if n > 1:
+            # ownership map (head id as flat color) -> per-head visibility;
+            # drop annotations for heads mostly hidden behind another head
+            id_colors = np.concatenate([
+                np.full((nv, 3), (h + 1) / (n + 1), np.float32)
+                for h in range(n)
+            ], 0)
+            own, _ = rasterize_zbuffer_native(
+                scene_v, scene_f, id_colors, height=s, width=s)
+            own_ids = np.rint(own[..., 0] * (n + 1)).astype(np.int32)
+            keep = []
+            for h in range(n):
+                solo_hit = rasterize_zbuffer_native(
+                    all_v[h], faces, colors, height=s, width=s)[1]
+                solo = max(int(solo_hit.sum()), 1)
+                visible = int(((own_ids == h + 1) & m).sum())
+                if visible / solo >= args.min_visibility:
+                    keep.append(h)
+            if not keep:  # degenerate full-overlap scene: keep one head
+                keep = [0]
+            keep = np.asarray(keep)
+            params_out = params[keep]
+            bboxes = [bboxes[k] for k in keep]
+            exts = [exts[k] for k in keep]
+            n = len(keep)
+        else:
+            params_out = params[:n]
 
         name = f"{i:06d}"
         cv2.imwrite(
@@ -176,7 +214,7 @@ def main():
         np.savez(
             os.path.join(ann_dir, name + ".npz"),
             **{
-                "3dmm_params": params[:n],
+                "3dmm_params": params_out,
                 "bbox": np.asarray(bboxes, np.float32),
                 "extended_bbox": np.asarray(exts, np.float32),
             },
