@@ -287,3 +287,49 @@ def test_checkpoint_metrics_history_and_average_best(tmp_path):
     avg = average_trees([trees[2], trees[3]])
     np.testing.assert_allclose(avg["params"]["w"], [2.5, 2.5])
     assert int(avg["step"]) == 2  # non-float leaves: first tree wins
+
+
+def test_prefetcher_surfaces_dataset_errors():
+    """A corrupt sample must raise in the consumer, not hang the campaign
+    (the producer thread used to die without enqueuing the sentinel)."""
+    from head_detector_tpu.train.runner import _Prefetcher
+
+    class _Bad:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            raise RuntimeError("corrupt sample")
+
+    loader = _Prefetcher(_Bad(), batch_size=4, max_boxes=2, num_workers=2,
+                         collate_fn=lambda s, m, wire_dtype=None: s)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="corrupt sample"):
+        next(iter(loader))
+
+
+def test_prefetcher_early_break_stops_producer():
+    """Breaking out of the loader must terminate the producer thread instead
+    of leaking it blocked on a full queue."""
+    import threading
+    import time
+
+    from head_detector_tpu.train.runner import _Prefetcher
+
+    class _DS:
+        def __len__(self):
+            return 256
+
+        def __getitem__(self, i):
+            return i
+
+    before = threading.active_count()
+    loader = _Prefetcher(_DS(), batch_size=4, max_boxes=2, num_workers=2,
+                         collate_fn=lambda s, m, wire_dtype=None: s)
+    for batch in loader:
+        break  # steps_per_epoch-style early exit
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.1)
+    assert threading.active_count() <= before, "producer thread leaked"
