@@ -26,6 +26,7 @@ import json
 import os
 import random
 import uuid
+import warnings
 import zlib
 from typing import Callable, List, Optional, Sequence
 
@@ -389,7 +390,19 @@ class DataGenerator:
             return 0, len(images)
         task_id = int(os.environ["SLURM_ARRAY_TASK_ID"])
         per_bucket = len(images) // MAX_TASKS
-        return task_id * per_bucket, min(len(images), (task_id + 1) * per_bucket)
+        if per_bucket == 0:
+            warnings.warn(
+                f"conditioning set ({len(images)} images) smaller than "
+                f"MAX_TASKS={MAX_TASKS}; task {task_id} gets a round-robin "
+                "share instead of the reference's empty range"
+            )
+            return task_id, task_id + 1 if task_id < len(images) else task_id
+        end = (task_id + 1) * per_bucket
+        if task_id == MAX_TASKS - 1:
+            # the reference's arithmetic drops the len%MAX_TASKS tail
+            # (data_generator/generate_laion.py:40-44); give it to the last task
+            end = len(images)
+        return task_id * per_bucket, min(len(images), end)
 
     @staticmethod
     def _get_folder_name() -> str:

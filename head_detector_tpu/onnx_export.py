@@ -705,9 +705,15 @@ def export_onnx(
             padding = const_of(ins[3])
             dilation = const_of(ins[4]) if len(ins) > 4 else None
             ceil_mode = const_of(ins[5]) if len(ins) > 5 else 0
-            assert not ceil_mode and (
-                dilation is None or all(d == 1 for d in np.atleast_1d(dilation))
-            ), "max_pool2d: dilation>1 / ceil_mode not translated"
+            if ceil_mode or (
+                dilation is not None
+                and any(d != 1 for d in np.atleast_1d(dilation))
+            ):
+                # not a bare assert: stripped under -O would export a
+                # silently wrong MaxPool
+                raise NotImplementedError(
+                    "max_pool2d: dilation>1 / ceil_mode not translated"
+                )
             (o,) = emit("MaxPool", [as_rt(ins[0])], attrs={
                 "kernel_shape": k, "strides": stride,
                 "pads": list(padding) + list(padding),

@@ -362,19 +362,31 @@ class RenderedHeadsDataset:
         # per-index serve counts: each index is served once per epoch, so
         # (index, count) seeds are deterministic regardless of which
         # _Prefetcher pool thread runs the call (np.random.RandomState is not
-        # thread-safe to share)
+        # thread-safe to share).  Under chunked campaigns (run_campaign.sh)
+        # each chunk is a fresh process and the counts would restart at 0,
+        # replaying the same aug draws every chunk — the trainer therefore
+        # calls set_epoch(global_epoch) at each epoch start, which supersedes
+        # the serve count with the resume-aware epoch number.
         import threading
 
         self._serve_counts = {}
         self._serve_lock = threading.Lock()
+        self._epoch: Optional[int] = None
+
+    def set_epoch(self, epoch: int) -> None:
+        """Fold the global (resume-aware) epoch into per-sample aug seeds."""
+        self._epoch = int(epoch)
 
     def __len__(self):
         return len(self.images)
 
     def _rng_for(self, index: int) -> np.random.RandomState:
-        with self._serve_lock:
-            count = self._serve_counts.get(index, 0)
-            self._serve_counts[index] = count + 1
+        if self._epoch is not None:
+            count = self._epoch
+        else:
+            with self._serve_lock:
+                count = self._serve_counts.get(index, 0)
+                self._serve_counts[index] = count + 1
         return np.random.RandomState(
             (self.aug_seed * 1000003 + index * 7919 + count * 104729) % (2 ** 31)
         )

@@ -340,6 +340,11 @@ class Trainer:
                 print(f"[trainer] epochs_per_run={cfg.epochs_per_run} reached "
                       f"at epoch {epoch}; exiting for chunk restart")
                 break
+            if hasattr(self.train_dataset, "set_epoch"):
+                # resume-aware aug seeding: without this, chunked campaigns
+                # replay identical per-sample aug draws every chunk
+                # (param_wire.RenderedHeadsDataset._rng_for)
+                self.train_dataset.set_epoch(epoch)
             loader = _Prefetcher(
                 self.train_dataset, cfg.batch_size, cfg.max_gt_boxes,
                 cfg.num_workers, seed=epoch,

@@ -187,3 +187,30 @@ def test_detector_captioner_templates():
     assert cap(np.zeros((8, 8, 3), np.uint8)) == "a photo of two people"
     cap0 = DetectorCaptioner(lambda img: [])
     assert cap0(np.zeros((8, 8, 3), np.uint8)) == "an empty scene"
+
+
+def test_slurm_index_ranges_cover_all_images(monkeypatch):
+    """SLURM bucketing must not silently drop the len%MAX_TASKS tail nor
+    yield all-empty ranges for small conditioning sets (round-3 advisor;
+    ref data_generator/generate_laion.py drops both)."""
+    from head_detector_tpu.data_factory import generation as g
+
+    def ranges(n):
+        out = []
+        for tid in range(g.MAX_TASKS):
+            monkeypatch.setenv("SLURM_ARRAY_TASK_ID", str(tid))
+            out.append(g.DataGenerator._get_start_end_index([f"i{k}" for k in range(n)]))
+        return out
+
+    # tail case: 2*MAX_TASKS+7 images — union of ranges covers everything
+    n = 2 * g.MAX_TASKS + 7
+    covered = sorted(i for s, e in ranges(n) for i in range(s, e))
+    assert covered == list(range(n))
+
+    # small-set case: fewer images than tasks — still disjoint full coverage
+    import warnings as w
+
+    with w.catch_warnings():
+        w.simplefilter("ignore")
+        covered = sorted(i for s, e in ranges(13) for i in range(s, e))
+    assert covered == list(range(13))

@@ -299,6 +299,7 @@ def test_conformal_augs_thread_deterministic():
 
             self._serve_counts = {}
             self._serve_lock = threading.Lock()
+            self._epoch = None
             self._n = n
 
         def __len__(self):
@@ -327,6 +328,43 @@ def test_conformal_augs_thread_deterministic():
     for i in range(8):
         np.testing.assert_array_equal(a[i].image, b[i].image)
         np.testing.assert_array_equal(a[i].params, b[i].params)
+
+
+def test_set_epoch_varies_aug_stream_across_chunk_restarts():
+    """Chunked campaigns restart the process each chunk; without the
+    trainer's set_epoch(global_epoch) call every chunk would replay the
+    same per-sample aug draws (round-3 advisor finding).  The epoch must
+    supersede the per-process serve count, and two epochs must differ."""
+    from head_detector_tpu.train.param_wire import RenderedHeadsDataset
+
+    ds = RenderedHeadsDataset.__new__(RenderedHeadsDataset)
+    import threading
+
+    ds.aug_seed = 0
+    ds._serve_counts = {}
+    ds._serve_lock = threading.Lock()
+    ds._epoch = None
+
+    # fresh-process default (no set_epoch): serve counts restart at 0
+    first_serve = ds._rng_for(5).randint(1 << 30)
+    ds._serve_counts.clear()
+    assert ds._rng_for(5).randint(1 << 30) == first_serve
+
+    # with set_epoch the draw tracks the GLOBAL epoch, not the process
+    ds.set_epoch(0)
+    e0 = ds._rng_for(5).randint(1 << 30)
+    ds.set_epoch(7)
+    e7 = ds._rng_for(5).randint(1 << 30)
+    assert e0 == first_serve  # epoch 0 == first serve (continuity)
+    assert e0 != e7
+    # restarted process at epoch 7 reproduces the unchunked stream
+    ds2 = RenderedHeadsDataset.__new__(RenderedHeadsDataset)
+    ds2.aug_seed = 0
+    ds2._serve_counts = {}
+    ds2._serve_lock = threading.Lock()
+    ds2._epoch = None
+    ds2.set_epoch(7)
+    assert ds2._rng_for(5).randint(1 << 30) == e7
 
 
 def test_conformal_augs_folds_offsize_inputs_to_square():
