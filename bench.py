@@ -36,13 +36,39 @@ BATCH = int(
 SIZE = int(os.environ.get("HDT_BENCH_SIZE", "640"))
 WARMUP = int(os.environ.get("HDT_BENCH_WARMUP", "3"))
 ITERS = int(os.environ.get("HDT_BENCH_ITERS", "10"))
-MODEL = os.environ.get("HDT_BENCH_MODEL", "yolo_heads_l")
 MODE = os.environ.get("HDT_BENCH_MODE", "pipeline")
+
+# Loaded-regime default (VERDICT r3 item 3): when the in-repo flagship EMA
+# checkpoint exists, the headline measures the PRODUCT regime — a trained
+# net over rendered >=1-head scenes, so the per-detection legs (sparse
+# towers, FLAME decode, selection) run at workload density instead of the
+# empty regime (~0.06 det/img through a random-init net).  Explicit env
+# vars still override everything; the empty-regime forward/NMS floor is
+# retained as a secondary JSON field (same compiled step, noise input).
+_DEFAULT_CKPT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "checkpoints", "flagship_ema.msgpack",
+)
+_ckpt_meta = {}
+if not os.environ.get("HDT_BENCH_CKPT") and os.path.isfile(_DEFAULT_CKPT):
+    os.environ["HDT_BENCH_CKPT"] = _DEFAULT_CKPT
+    os.environ.setdefault("HDT_BENCH_INPUT", "render")
+    try:
+        with open(_DEFAULT_CKPT + ".json") as f:
+            _ckpt_meta = json.load(f)
+    except (OSError, ValueError):
+        _ckpt_meta = {}
+
+MODEL = os.environ.get(
+    "HDT_BENCH_MODEL", _ckpt_meta.get("arch", "yolo_heads_l")
+)
 BASELINE_FILE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
 )
 _FLOPS_PER_IMAGE = 0.0  # set by _bench_pipeline (HLO cost analysis)
 _DETS_PER_IMAGE = -1.0  # measured valid detections/image (set by pipeline)
+_CONTENDED = False  # a campaign held the host lock while measuring
+_EMPTY_REGIME_IPS = 0.0  # forward/NMS floor (same step, noise input)
 
 
 def _make_inputs() -> np.ndarray:
@@ -90,6 +116,13 @@ def _build_fused(jnp, skip_flame: bool = False):
             train_model, jax.random.PRNGKey(0), (SIZE, SIZE), batch=2
         )
         source = load_variables(ckpt)
+        # the in-repo shipping format stores f16 leaves (half the artifact);
+        # params are f32 at compute time as everywhere else
+        source = jax.tree_util.tree_map(
+            lambda x: np.asarray(x, np.float32)
+            if np.asarray(x).dtype == np.float16 else x,
+            source,
+        )
         variables, matched, total = restore_key_matching(variables, source)
         print(f"# ckpt restore: {matched}/{total} leaves", file=sys.stderr)
     else:
@@ -102,8 +135,11 @@ def _build_fused(jnp, skip_flame: bool = False):
     # (bit-identical in f32, no dense f32 materialisation).  skip_flame
     # additionally removes the six dense FLAME towers — the sparse path
     # re-runs them post-NMS on patches at the kept anchors only.
+    # HDT_BENCH_S2D=1 rebuilds the stem in space-to-depth form (same
+    # arithmetic, 4x the MXU contraction lanes — export.s2d_stem_kernel).
     return build_deploy(
-        MODEL, variables, defer_globalization=True, skip_flame=skip_flame
+        MODEL, variables, defer_globalization=True, skip_flame=skip_flame,
+        s2d_stem=os.environ.get("HDT_BENCH_S2D") == "1",
     )
 
 
@@ -405,6 +441,24 @@ def _bench_pipeline(mode: str) -> float:
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     _DETS_PER_IMAGE = float(np.asarray(out[2]).sum()) / BATCH
+
+    if mode == "pipeline" and os.environ.get("HDT_BENCH_INPUT") == "render":
+        # secondary: the empty-regime forward/NMS floor through the SAME
+        # compiled step — noise input produces ~0 detections, isolating the
+        # detector+NMS cost from the loaded per-detection legs
+        global _EMPTY_REGIME_IPS
+        rng = np.random.RandomState(1)
+        noise = jnp.asarray(
+            rng.randint(0, 255, (BATCH, SIZE, SIZE, 3), dtype=np.uint8)
+        )
+        nout = step(noise)
+        jax.block_until_ready(nout)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            nout = step(noise)
+        jax.block_until_ready(nout)
+        _EMPTY_REGIME_IPS = BATCH * ITERS / (time.perf_counter() - t0)
+
     return BATCH * ITERS / dt
 
 
@@ -520,6 +574,20 @@ def main():
     # mismatch (SIGILL) warnings. The benchmark always compiles fresh.
     _ = jax  # backend selected by the environment
 
+    # A running training campaign contends for the single host core AND the
+    # TPU (round-3 lesson: the driver bench measured ~3.5% low beside a
+    # campaign chunk).  Wait a bounded time for it to finish, then proceed
+    # and record the residual contention state in the JSON line.
+    from head_detector_tpu import hostlock
+
+    global _CONTENDED
+    _CONTENDED = hostlock.wait_until_free(
+        float(os.environ.get("HDT_LOCK_WAIT_S", "900"))
+    )
+    if _CONTENDED:
+        print("# bench running beside an active campaign (lock held) — "
+              "numbers may read low", file=sys.stderr)
+
     if MODE == "latency":
         p50_ms = _bench_latency()
         flavor = {
@@ -540,6 +608,7 @@ def main():
                     "value": round(p50_ms, 2),
                     "unit": "ms",
                     "vs_baseline": 1.0,
+                    "contended": _CONTENDED,
                 }
             )
         )
@@ -553,7 +622,13 @@ def main():
         images_per_sec = _bench_pipeline(MODE)
         suffix = {"pipeline": "detect+mesh decode", "crops": "detect+mesh+crops",
                   "pncc": "detect+mesh+PNCC render"}[MODE]
-        metric = f"images/sec/chip @{SIZE}px {suffix} ({MODEL}, bf16 fused, batch {BATCH})"
+        regime = (
+            ", trained ckpt, rendered scenes"
+            if os.environ.get("HDT_BENCH_CKPT")
+            and os.environ.get("HDT_BENCH_INPUT") == "render" else ""
+        )
+        metric = (f"images/sec/chip @{SIZE}px {suffix} "
+                  f"({MODEL}, bf16 fused, batch {BATCH}{regime})")
 
     baseline = None
     if os.path.isfile(BASELINE_FILE):
@@ -579,6 +654,7 @@ def main():
         "value": round(images_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / baseline, 3),
+        "contended": _CONTENDED,
     }
     if _FLOPS_PER_IMAGE > 0:
         from head_detector_tpu.profiling import V5E_BF16_PEAK_FLOPS, mfu
@@ -593,6 +669,13 @@ def main():
         # default noise input through a random-init net (empty-pipeline
         # regime), >=1 with HDT_BENCH_INPUT=render + a trained HDT_BENCH_CKPT
         payload["detections_per_image"] = round(_DETS_PER_IMAGE, 2)
+    if _EMPTY_REGIME_IPS > 0:
+        payload["empty_regime_img_s"] = round(_EMPTY_REGIME_IPS, 2)
+    if _ckpt_meta:
+        payload["ckpt"] = {
+            "arch": _ckpt_meta.get("arch"), "step": _ckpt_meta.get("step"),
+            "which": _ckpt_meta.get("which"),
+        }
     print(json.dumps(payload))
 
 

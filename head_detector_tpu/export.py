@@ -84,6 +84,35 @@ def _fuse_one(params: Dict[str, Any], stats: Dict[str, Any], eps: float) -> Dict
     return {"rbr_reparam": {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}}
 
 
+def s2d_stem_kernel(w: np.ndarray) -> np.ndarray:
+    """Re-lay a fused 3x3/s2 stem kernel for the space-to-depth stem form.
+
+    The dense stem convolves [3,3,C,O] over (H, W, C) at stride 2 with
+    torch pad 1: output (i, j) reads input rows/cols 2i-1..2i+1.  After a
+    2x2 space-to-depth (channel order ``(di*2+dj)*C + c`` — see
+    ``QARepVGGBlock.s2d``), those taps live in s2d rows {i-1, i}, so the
+    SAME arithmetic is a 2x2/s1 conv with pad (1,0) whose kernel is this
+    scatter of the 9 dense taps into 9 of the 16 (ky, kx, di, dj) slots
+    (the rest stay zero).  MXU contraction dim: 9*C -> 4*4C.
+    """
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (3, 3), f"stem kernel must be 3x3, got {w.shape}"
+    k = np.zeros((2, 2, 4 * cin, cout), w.dtype)
+    for ky in range(2):
+        for di in range(2):
+            u = 2 * ky + di - 1  # dense tap row index (0..2), -1 = zero pad
+            if not 0 <= u <= 2:
+                continue
+            for kx in range(2):
+                for dj in range(2):
+                    v = 2 * kx + dj - 1
+                    if not 0 <= v <= 2:
+                        continue
+                    blk = (di * 2 + dj) * cin
+                    k[ky, kx, blk : blk + cin] = w[u, v]
+    return k
+
+
 def fuse_qarepvgg(
     variables: Dict[str, Any], arch: ArchCfg
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
@@ -128,6 +157,7 @@ def build_deploy(
     dtype: Any = jnp.bfloat16,
     defer_globalization: bool = False,
     skip_flame: bool = False,
+    s2d_stem: bool = False,
 ) -> Tuple[YoloHeads, Dict[str, Any]]:
     """Convenience: (deploy model, fused variables) from training variables."""
     model = build_model(
@@ -136,8 +166,14 @@ def build_deploy(
         dtype=dtype,
         defer_globalization=defer_globalization,
         skip_flame=skip_flame,
+        s2d_stem=s2d_stem,
     )
     fused = fuse_qarepvgg(variables, model.arch)
+    if s2d_stem:
+        stem = fused["params"]["backbone"]["stem"]["conv"]["rbr_reparam"]
+        stem["kernel"] = jnp.asarray(
+            s2d_stem_kernel(np.asarray(stem["kernel"]))
+        )
     return model, fused
 
 

@@ -20,6 +20,7 @@ from head_detector_tpu.models.presets import ArchCfg
 class NStageBackbone(nn.Module):
     arch: ArchCfg
     deploy: bool = False
+    s2d_stem: bool = False
     cfg: BlockCfg = BlockCfg()
 
     @nn.compact
@@ -27,7 +28,8 @@ class NStageBackbone(nn.Module):
         self, x: jnp.ndarray, train: bool = False
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         x = YoloNASStem(
-            self.arch.stem_channels, deploy=self.deploy, cfg=self.cfg, name="stem"
+            self.arch.stem_channels, deploy=self.deploy, s2d=self.s2d_stem,
+            cfg=self.cfg, name="stem",
         )(x, train)
 
         outs = []

@@ -117,10 +117,36 @@ class QARepVGGBlock(nn.Module):
     use_alpha: bool = False
     use_act: bool = True
     deploy: bool = False
+    s2d: bool = False
     cfg: BlockCfg = BlockCfg()
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.deploy and self.s2d:
+            # Space-to-depth form of the stride-2 3x3 conv (deploy only):
+            # rearrange (H, W, C) -> (H/2, W/2, 4C) and convolve 2x2/s1 with
+            # the fused kernel re-laid by export.s2d_stem_kernel — exactly
+            # the same arithmetic, but the MXU contraction dim grows from
+            # 9*C to 4*4C (3 -> 48 lanes at the RGB stem, where the dense
+            # form populates 3/128 lanes; BENCHMARKS.md roofline memo).
+            assert self.stride == 2 and self.groups == 1
+            b, h, w, c = x.shape
+            y = x.reshape(b, h // 2, 2, w // 2, 2, c)
+            y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+            y = nn.Conv(
+                self.out_channels,
+                (2, 2),
+                strides=(1, 1),
+                # torch-pad-1 semantics of the dense 3x3/s2: output (i, j)
+                # reads input rows 2i-1..2i+1 == s2d rows {i-1, i}
+                padding=[(1, 0), (1, 0)],
+                use_bias=True,
+                dtype=self.cfg.dtype,
+                param_dtype=jnp.float32,
+                name="rbr_reparam",
+            )(y)
+            return nn.relu(y) if self.use_act else y
+
         if self.deploy:
             y = nn.Conv(
                 self.out_channels,
@@ -285,6 +311,7 @@ class YoloNASStem(nn.Module):
 
     out_channels: int
     deploy: bool = False
+    s2d: bool = False
     cfg: BlockCfg = BlockCfg()
 
     @nn.compact
@@ -294,6 +321,7 @@ class YoloNASStem(nn.Module):
             stride=2,
             use_residual_connection=False,
             deploy=self.deploy,
+            s2d=self.s2d,
             cfg=self.cfg,
             name="conv",
         )(x, train)

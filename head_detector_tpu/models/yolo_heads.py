@@ -45,6 +45,7 @@ class YoloHeads(nn.Module):
     dtype: Any = jnp.float32
     defer_globalization: bool = False
     skip_flame: bool = False
+    s2d_stem: bool = False
 
     def setup(self):
         cfg = BlockCfg(
@@ -52,7 +53,9 @@ class YoloHeads(nn.Module):
             bn_momentum=self.arch.bn_momentum,
             dtype=self.dtype,
         )
-        self.backbone = NStageBackbone(self.arch, deploy=self.deploy, cfg=cfg)
+        self.backbone = NStageBackbone(
+            self.arch, deploy=self.deploy, s2d_stem=self.s2d_stem, cfg=cfg
+        )
         self.neck = YoloNASPANNeckWithC2(self.arch, deploy=self.deploy, cfg=cfg)
         self.heads = YoloHeadsNDFLHeads(
             self.arch,
@@ -88,6 +91,7 @@ def build_model(
     dtype: Any = jnp.float32,
     defer_globalization: bool = False,
     skip_flame: bool = False,
+    s2d_stem: bool = False,
 ) -> YoloHeads:
     if isinstance(name_or_arch, str) and name_or_arch.lower() in (
         "segformer", "segformeryoloheads", "segformer_b5_yolo"
@@ -103,6 +107,7 @@ def build_model(
         dtype=dtype,
         defer_globalization=defer_globalization,
         skip_flame=skip_flame,
+        s2d_stem=s2d_stem,
     )
 
 

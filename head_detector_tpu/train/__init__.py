@@ -12,6 +12,7 @@ from head_detector_tpu.train.trainer import (
     TrainConfig,
     TrainState,
     create_train_state,
+    make_loss_fn,
     make_train_step,
 )
 
@@ -24,6 +25,7 @@ __all__ = [
     "TrainConfig",
     "TrainState",
     "create_train_state",
+    "make_loss_fn",
     "make_train_step",
     "Trainer",
     "RunConfig",

@@ -280,13 +280,10 @@ class ConformalAugs:
             dy = r.uniform(-self.max_translate, self.max_translate)
             center = (w / 2 + dx * w, h / 2 + dy * h)
             mat = cv2.getRotationMatrix2D(center, angle, scale)
-            value = tuple([self.pad_value] * img.shape[-1])
-            img = cv2.warpAffine(
-                img, mat, (w, h), flags=cv2.INTER_LINEAR,
-                borderMode=cv2.BORDER_CONSTANT, borderValue=value,
-            )
+            resample = True
         else:
             mat = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+            resample = False
 
         total = np.hstack(
             [mat[:, :2] @ amat90[:, :2],
@@ -294,21 +291,24 @@ class ConformalAugs:
         )
 
         # longest-max-size + pad to the square target canvas (identity for
-        # pre-rendered square inputs at image_size)
+        # pre-rendered square inputs at image_size); composed with the random
+        # affine so off-size inputs still pay only ONE INTER_LINEAR resample
+        # (round-3 advisor: the two-warp form blurred off-size images twice)
         s = self.image_size
         if (h, w) != (s, s):
             c = s / max(h, w)
-            fit = np.array([[c, 0.0, 0.0], [0.0, c, 0.0]])
+            mat = np.hstack([c * mat[:, :2], (c * mat[:, 2])[:, None]])
+            total = np.hstack(
+                [c * total[:, :2], (c * total[:, 2])[:, None]]
+            )
+            resample = True
+        if resample:
             value = tuple([self.pad_value] * img.shape[-1])
             img = cv2.warpAffine(
-                img, fit, (s, s), flags=cv2.INTER_LINEAR,
+                img, mat, (s, s), flags=cv2.INTER_LINEAR,
                 borderMode=cv2.BORDER_CONSTANT, borderValue=value,
             )
-            total = np.hstack(
-                [fit[:, :2] @ total[:, :2],
-                 (fit[:, :2] @ total[:, 2] + fit[:, 2])[:, None]]
-            )
-            h = w = s
+        h = w = s
 
         params, offsets = apply_conformal_to_params(
             sample.params, sample.offsets, total

@@ -327,6 +327,21 @@ class Trainer:
         return out
 
     def train(self) -> Dict[str, float]:
+        import jax
+
+        from head_detector_tpu import hostlock
+
+        if jax.default_backend() != "cpu":
+            # advertise the campaign to bench.py / __graft_entry__ so driver
+            # artifacts can record (and bound) host/TPU contention
+            # (hostlock module doc; VERDICT r3 item 8)
+            hostlock.acquire()
+        try:
+            return self._train_epochs()
+        finally:
+            hostlock.release()
+
+    def _train_epochs(self) -> Dict[str, float]:
         cfg = self.cfg
         last_metrics: Dict[str, float] = {}
         start_epoch = int(self.state.step) // self.steps_per_epoch

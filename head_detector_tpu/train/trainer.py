@@ -121,19 +121,19 @@ def _ema_decay(step: jnp.ndarray, cfg: TrainConfig) -> jnp.ndarray:
     return cfg.ema_decay * (1.0 - jnp.exp(-x * cfg.ema_beta))
 
 
-def make_train_step(
+def make_loss_fn(
     model: YoloHeads,
     flame_model: FlameModel,
     loss_cfg: LossConfig,
-    train_cfg: TrainConfig,
     axis_name: Optional[str] = None,
 ) -> Callable:
-    """Build the (un-jitted) train step.
+    """The train-mode loss forward: ``(params, batch_stats, images, targets)
+    -> (total, (components, new_batch_stats))``.
 
-    When sharded with pjit/NamedSharding, gradient reduction is inserted by
-    XLA automatically — ``axis_name`` is only consumed by the loss's optional
-    cross-replica score normalisation (``average_losses_in_ddp``).
-    """
+    Exposed separately from :func:`make_train_step` so callers that only need
+    the loss VALUE (e.g. the driver's multi-chip parity dryrun, which
+    certifies sharded-loss == global-loss) can jit a forward-only program —
+    roughly half the compile cost of the full value_and_grad train step."""
 
     def loss_fn(params, batch_stats, images, targets):
         (decoded, raw), mutated = model.apply(
@@ -151,6 +151,25 @@ def make_train_step(
             flame_model, raw, targets, loss_cfg, axis_name=axis_name
         )
         return total, (components, mutated["batch_stats"])
+
+    return loss_fn
+
+
+def make_train_step(
+    model: YoloHeads,
+    flame_model: FlameModel,
+    loss_cfg: LossConfig,
+    train_cfg: TrainConfig,
+    axis_name: Optional[str] = None,
+) -> Callable:
+    """Build the (un-jitted) train step.
+
+    When sharded with pjit/NamedSharding, gradient reduction is inserted by
+    XLA automatically — ``axis_name`` is only consumed by the loss's optional
+    cross-replica score normalisation (``average_losses_in_ddp``).
+    """
+
+    loss_fn = make_loss_fn(model, flame_model, loss_cfg, axis_name=axis_name)
 
     def train_step(state: TrainState, images: jnp.ndarray, targets):
         # Compact wire format: callers may ship images as uint8 and (dense

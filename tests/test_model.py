@@ -169,3 +169,59 @@ def test_presets_exist():
         arch = get_arch(name)
         assert len(arch.stages) == 4 and len(arch.heads) == 3
     assert get_arch("vgg_heads_l") is get_arch("yolo_heads_l")
+
+
+def test_s2d_stem_kernel_algebra_exact():
+    """The space-to-depth stem is the SAME arithmetic as the dense 3x3/s2
+    stem conv (export.s2d_stem_kernel doc): dense conv(pad 1, stride 2) ==
+    2x2/s1 conv over the 2x2 s2d rearrangement with the re-laid kernel."""
+    import jax.lax as lax
+
+    from head_detector_tpu.export import s2d_stem_kernel
+
+    r = np.random.RandomState(0)
+    x = jnp.asarray(r.rand(2, 16, 16, 3), jnp.float32)
+    w = jnp.asarray(r.randn(3, 3, 3, 8).astype(np.float32))
+
+    dense = lax.conv_general_dilated(
+        x, w, window_strides=(2, 2), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+    b, h, ww, c = x.shape
+    y = x.reshape(b, h // 2, 2, ww // 2, 2, c)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, ww // 2, 4 * c)
+    k = jnp.asarray(s2d_stem_kernel(np.asarray(w)))
+    s2d = lax.conv_general_dilated(
+        y, k, window_strides=(1, 1), padding=[(1, 0), (1, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    assert s2d.shape == dense.shape
+    np.testing.assert_allclose(np.asarray(s2d), np.asarray(dense),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_s2d_stem_deploy_model_matches_dense(tiny_model):
+    """Whole-graph check: the deploy model built with s2d_stem=True decodes
+    the same boxes/scores/flame params as the dense deploy build."""
+    from head_detector_tpu.export import build_deploy
+
+    _, variables = tiny_model
+    dense_m, dense_v = build_deploy(TINY, variables, dtype=jnp.float32)
+    s2d_m, s2d_v = build_deploy(TINY, variables, dtype=jnp.float32,
+                                s2d_stem=True)
+    stem_k = s2d_v["params"]["backbone"]["stem"]["conv"]["rbr_reparam"]["kernel"]
+    assert stem_k.shape[:2] == (2, 2) and stem_k.shape[2] == 12
+
+    x = jnp.asarray(np.random.RandomState(3).rand(2, 64, 64, 3), jnp.float32)
+    d_dense, _ = dense_m.apply(dense_v, x, train=False)
+    d_s2d, _ = s2d_m.apply(s2d_v, x, train=False)
+    np.testing.assert_allclose(np.asarray(d_s2d.boxes_xyxy),
+                               np.asarray(d_dense.boxes_xyxy),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(d_s2d.scores),
+                               np.asarray(d_dense.scores),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_s2d.flame_params),
+                               np.asarray(d_dense.flame_params),
+                               rtol=1e-4, atol=1e-3)

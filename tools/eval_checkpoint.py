@@ -88,6 +88,10 @@ def main(argv=None) -> int:
                     help="VGGHeads-layout dataset root: score the on-disk "
                          "val split instead of the procedural generator")
     ap.add_argument("--val-split", default="val")
+    ap.add_argument("--export-dtype", choices=["f32", "f16"], default="f32",
+                    help="dtype for --export-msgpack leaves; f16 halves the "
+                         "artifact for in-repo shipping (bench.py restores "
+                         "to f32 at load)")
     ap.add_argument("--export-msgpack", default=None,
                     help="also write {params,batch_stats} (first --which "
                          "kind) as a flax msgpack for HeadDetector/bench")
@@ -154,9 +158,30 @@ def main(argv=None) -> int:
         params = restored["params"] if kind == "raw" else restored["ema_params"]
         variables = {"params": params, "batch_stats": restored["batch_stats"]}
         if i == 0 and args.export_msgpack:
+            import json as _json
+
+            import numpy as _np
+
             from head_detector_tpu.detector import save_variables
 
-            save_variables(variables, args.export_msgpack)
+            out_vars = variables
+            if args.export_dtype == "f16":
+                import jax
+
+                out_vars = jax.tree_util.tree_map(
+                    lambda x: _np.asarray(x, _np.float16)
+                    if _np.asarray(x).dtype == _np.float32 else _np.asarray(x),
+                    variables,
+                )
+            save_variables(out_vars, args.export_msgpack)
+            # sidecar metadata: bench.py reads arch/size so the in-repo
+            # default checkpoint is self-describing
+            with open(args.export_msgpack + ".json", "w") as f:
+                _json.dump({
+                    "arch": args.arch, "image_size": args.image_size,
+                    "which": kind, "step": str(step),
+                    "dtype": args.export_dtype,
+                }, f)
             print(f"[step {step}] wrote {kind} msgpack: {args.export_msgpack}")
         if args.no_eval:
             continue

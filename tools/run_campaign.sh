@@ -17,7 +17,11 @@ mkdir -p "$LOG"
 for chunk in 0 1 2 3 4 5 6 7; do
   [ -s "$LOG/chunk_$chunk.log" ] && continue   # resume driver: skip done chunks
   echo "=== chunk $chunk start $(date) ==="
-  timeout 14400 python -m head_detector_tpu.train --config-name "$CONFIG" \
+  # nice -n 19: the campaign is TPU/relay-paced; yielding the single host
+  # core keeps driver windows (bench.py, dryrun_multichip) from timing out
+  # beside it (VERDICT r3 weak 1/4).  The trainer also takes
+  # /tmp/hdt_campaign.lock so those entry points can detect/report us.
+  nice -n 19 timeout 14400 python -m head_detector_tpu.train --config-name "$CONFIG" \
     training_hyperparams.resume=true ${EXTRA[@]+"${EXTRA[@]}"} \
     > "$LOG/chunk_$chunk.log" 2>&1
   rc=$?
