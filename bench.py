@@ -486,7 +486,11 @@ def _bench_latency() -> float:
         pass
 
     det = _Noop() if lat_mode == "noop" else HeadDetector(
-        model=MODEL, image_size=SIZE, pre_nms_max=pre, post_nms_max=post
+        model=MODEL, image_size=SIZE, pre_nms_max=pre, post_nms_max=post,
+        # HDT_BENCH_PACKED=1: single closed-over parameter buffer
+        # (export.pack_variables) — probes whether the relay's per-dispatch
+        # sync overhead scales with argument-buffer count
+        packed_params=os.environ.get("HDT_BENCH_PACKED") == "1",
     )
     rng = np.random.RandomState(0)
     image = rng.randint(0, 255, (480, SIZE, 3), dtype=np.uint8)
@@ -601,6 +605,8 @@ def main():
                 f", nms {os.environ.get('HDT_BENCH_PRE', '1000')}"
                 f"/{os.environ.get('HDT_BENCH_POST', '100')}"
             )
+        if os.environ.get("HDT_BENCH_PACKED") == "1":
+            flavor += ", packed params"
         print(
             json.dumps(
                 {

@@ -123,6 +123,7 @@ class HeadDetector:
         post_nms_max: int = 100,
         iou_threshold: float = 0.5,
         deploy: bool = True,
+        packed_params: Optional[bool] = None,
     ):
         """``deploy=True`` (default) structurally reparameterises every
         QARepVGG block into a single conv (export.fuse_qarepvgg) — the
@@ -177,7 +178,24 @@ class HeadDetector:
             skip_flame=self._sparse,
         )
         self._variables = variables
-        self._detect = jax.jit(self._detect_fn)
+        if packed_params is None:
+            packed_params = os.environ.get("HDT_PACKED") == "1"
+        if packed_params:
+            # single-dispatch-buffer form (export.pack_variables): the jitted
+            # program closes over ONE flat f32 buffer instead of ~800
+            # parameter arrays — on hosts whose per-dispatch cost scales
+            # with argument-buffer count (the axon relay) this collapses the
+            # batch-1 sync latency toward the noop floor; identical math.
+            from head_detector_tpu.export import pack_variables
+
+            flat, unpack = pack_variables(variables)
+            self._detect = jax.jit(
+                lambda img, conf, pad, scale: self._detect_fn(
+                    img, conf, pad, scale, variables=unpack(flat)
+                )
+            )
+        else:
+            self._detect = jax.jit(self._detect_fn)
 
     # ------------------------------------------------------------------ #
     def _detect_fn(
@@ -186,13 +204,15 @@ class HeadDetector:
         confidence_threshold: jnp.ndarray,  # scalar
         pad: jnp.ndarray,  # [2] (left, top)
         scale: jnp.ndarray,  # scalar
+        variables: Optional[Dict[str, Any]] = None,  # packed-params path
     ):
+        variables = self._variables if variables is None else variables
         if self._sparse:
             decoded, raw, feats = self._model.apply(
-                self._variables, image, train=False, return_feats=True
+                variables, image, train=False, return_feats=True
             )
         else:
-            decoded, raw = self._model.apply(self._variables, image, train=False)
+            decoded, raw = self._model.apply(variables, image, train=False)
         res = batched_nms(
             decoded.boxes_xyxy,
             decoded.scores,
@@ -206,7 +226,7 @@ class HeadDetector:
             from head_detector_tpu.ops.sparse_towers import sparse_flame_rows
 
             rows = sparse_flame_rows(
-                self._variables, self._arch, feats, res.anchor_idx
+                variables, self._arch, feats, res.anchor_idx
             )
         else:
             rows = res.flame_params.astype(jnp.float32)
