@@ -184,6 +184,10 @@ def main():
     ap.add_argument("--base-path", default="")
     ap.add_argument("--model", default="yolo_heads_l")
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--image-size", type=int, default=640,
+                    help="eval resolution (the protocol's 640; use the "
+                         "training resolution for checkpoints trained "
+                         "at another size)")
     args = ap.parse_args()
 
     with open(args.dataset_json) as f:
@@ -194,6 +198,7 @@ def main():
 
     predictor = EvalPredictor(
         model_name=args.model, checkpoint=args.checkpoint,
+        image_size=args.image_size,
         confidence_threshold=0.2, nms_iou_threshold=0.5,
         post_nms_max_predictions=30,
     )

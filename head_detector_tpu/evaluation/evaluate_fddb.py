@@ -65,9 +65,14 @@ def main():
     ap.add_argument("--data-dir", required=True)
     ap.add_argument("--model", default="yolo_heads_l")
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--image-size", type=int, default=640,
+                    help="eval resolution (the protocol's 640; use the "
+                         "training resolution for checkpoints trained "
+                         "at another size)")
     args = ap.parse_args()
     predictor = EvalPredictor(
         model_name=args.model, checkpoint=args.checkpoint,
+        image_size=args.image_size,
         confidence_threshold=0.5, nms_iou_threshold=0.5,
         pre_nms_max_predictions=1000, post_nms_max_predictions=500,
     )
