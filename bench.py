@@ -50,7 +50,10 @@ _DEFAULT_CKPT = os.path.join(
     "checkpoints", "flagship_ema.msgpack",
 )
 _ckpt_meta = {}
-if not os.environ.get("HDT_BENCH_CKPT") and os.path.isfile(_DEFAULT_CKPT):
+if os.environ.get("HDT_BENCH_CKPT", "").lower() in ("0", "none"):
+    # explicit opt-out from the in-repo default (empty-regime A/B rows)
+    os.environ["HDT_BENCH_CKPT"] = ""
+elif not os.environ.get("HDT_BENCH_CKPT") and os.path.isfile(_DEFAULT_CKPT):
     os.environ["HDT_BENCH_CKPT"] = _DEFAULT_CKPT
     os.environ.setdefault("HDT_BENCH_INPUT", "render")
     try:
