@@ -67,8 +67,16 @@ HDT_BENCH_MODE=latency HDT_BENCH_LAT=device HDT_BENCH_MODEL=yolo_heads_s \
   HDT_BENCH_PACKED=1 HDT_BENCH_PIPELINED=1 python bench.py \
   2>&1 | tee "$OUT/lat_packed_pipelined.log"
 
+echo "=== 6b. packed + right-sized NMS budgets (128/32) ==="
+HDT_BENCH_MODE=latency HDT_BENCH_LAT=device HDT_BENCH_MODEL=yolo_heads_s \
+  HDT_BENCH_PACKED=1 HDT_BENCH_PRE=128 HDT_BENCH_POST=32 python bench.py \
+  2>&1 | tee "$OUT/lat_packed_128_32.log"
+
 echo "=== 7. space-to-depth stem A/B (L empty regime @640) ==="
 HDT_BENCH_CKPT=none HDT_BENCH_INPUT=noise HDT_BENCH_MODEL=yolo_heads_l \
   HDT_BENCH_S2D=1 python bench.py 2>&1 | tee "$OUT/bench_l_s2d.log"
+
+echo "=== 7b. batch-64 loaded headline (saturation re-check w/ sparse towers) ==="
+HDT_BENCH_BATCH=64 python bench.py 2>&1 | tee "$OUT/bench_headline_b64.log"
 
 echo "=== done; logs in $OUT ==="
