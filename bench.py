@@ -494,6 +494,11 @@ def _bench_latency() -> float:
         # (export.pack_variables) — probes whether the relay's per-dispatch
         # sync overhead scales with argument-buffer count
         packed_params=os.environ.get("HDT_BENCH_PACKED") == "1",
+        # HDT_BENCH_WIREM=16: compact download wire — top-M slots only, TWO
+        # transfers (f32 meta + HDT_BENCH_WDT verts) instead of six dense
+        # [post_nms_max, ...] tensors; the serving configuration of record
+        compact_wire=int(os.environ.get("HDT_BENCH_WIREM", "0")) or None,
+        wire_verts_dtype=os.environ.get("HDT_BENCH_WDT", "f16"),
     )
     rng = np.random.RandomState(0)
     image = rng.randint(0, 255, (480, SIZE, 3), dtype=np.uint8)
@@ -610,6 +615,11 @@ def main():
             )
         if os.environ.get("HDT_BENCH_PACKED") == "1":
             flavor += ", packed params"
+        if os.environ.get("HDT_BENCH_WIREM"):
+            flavor += (
+                f", compact wire M={os.environ['HDT_BENCH_WIREM']}"
+                f"/{os.environ.get('HDT_BENCH_WDT', 'f16')}"
+            )
         print(
             json.dumps(
                 {

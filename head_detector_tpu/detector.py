@@ -124,12 +124,27 @@ class HeadDetector:
         iou_threshold: float = 0.5,
         deploy: bool = True,
         packed_params: Optional[bool] = None,
+        compact_wire: Optional[int] = None,
+        wire_verts_dtype: str = "f32",
     ):
         """``deploy=True`` (default) structurally reparameterises every
         QARepVGG block into a single conv (export.fuse_qarepvgg) — the
         inference-speed path; outputs agree with the training graph to
         float32 roundoff.  Checkpoints already in deploy layout (containing
-        ``rbr_reparam`` scopes) are detected and used as-is."""
+        ``rbr_reparam`` scopes) are detected and used as-is.
+
+        ``compact_wire=M`` switches the per-call device->host download from
+        six dense ``[post_nms_max, ...]`` tensors (~6 MB, dominated by the
+        ``[100, 5023, 3]`` f32 vertices) to TWO tensors covering only the top
+        M slots ordered (valid desc, score desc): one ``[M, 422]`` f32
+        metadata row (box, score, FLAME params, RPY, valid flag) and one
+        ``[M, 5023, 3]`` vertex tensor (``wire_verts_dtype="f16"`` halves it
+        again; vertices are in pixel units, so f16 costs <0.25 px below
+        1024 px — opt-in).  The per-detection legs (sparse FLAME towers,
+        LBS mesh decode) also shrink from post_nms_max rows to M.  The
+        reference consumes results strictly per-kept-head
+        (``head_detector/detector.py:61-90``), so for any image with <= M
+        detections the observable ``PredictionResult`` is unchanged."""
         self._image_size = image_size
         self._pre_nms_max = pre_nms_max
         self._post_nms_max = post_nms_max
@@ -178,6 +193,10 @@ class HeadDetector:
             skip_flame=self._sparse,
         )
         self._variables = variables
+        self._compact_wire = int(compact_wire) if compact_wire else 0
+        if wire_verts_dtype not in ("f32", "f16"):
+            raise ValueError(f"wire_verts_dtype must be f32|f16, got {wire_verts_dtype!r}")
+        self._wire_vdtype = jnp.float16 if wire_verts_dtype == "f16" else jnp.float32
         if packed_params is None:
             packed_params = os.environ.get("HDT_PACKED") == "1"
         if packed_params:
@@ -222,26 +241,46 @@ class HeadDetector:
             pre_nms_max=self._pre_nms_max,
             post_nms_max=self._post_nms_max,
         )
-        if self._sparse:
-            from head_detector_tpu.ops.sparse_towers import sparse_flame_rows
+        if self._compact_wire:
+            # compact wire: only the top-M (valid desc, score desc) slots get
+            # the FLAME towers + mesh decode and ride the download
+            from head_detector_tpu.ops.nms import compact_detections
 
-            rows = sparse_flame_rows(
-                variables, self._arch, feats, res.anchor_idx
+            cres = compact_detections(res, self._compact_wire)
+            if self._sparse:
+                from head_detector_tpu.ops.sparse_towers import sparse_flame_rows
+
+                rows = sparse_flame_rows(
+                    variables, self._arch, feats,
+                    cres.anchor_idx[None], batch_idx=cres.batch_idx[None],
+                )[0]
+            else:
+                rows = cres.flame_params.astype(jnp.float32)
+            params = globalize_flame(
+                rows, cres.anchor_idx, raw.anchor_points, raw.stride_tensor
             )
+            boxes, scores, valid = cres.boxes, cres.scores, cres.valid
         else:
-            rows = res.flame_params.astype(jnp.float32)
-        selected = globalize_flame(
-            rows,
-            res.anchor_idx,
-            raw.anchor_points,
-            raw.stride_tensor,
-        )
-        boxes, scores, params, valid = (
-            res.boxes[0],
-            res.scores[0],
-            selected[0],
-            res.valid[0],
-        )
+            if self._sparse:
+                from head_detector_tpu.ops.sparse_towers import sparse_flame_rows
+
+                rows = sparse_flame_rows(
+                    variables, self._arch, feats, res.anchor_idx
+                )
+            else:
+                rows = res.flame_params.astype(jnp.float32)
+            selected = globalize_flame(
+                rows,
+                res.anchor_idx,
+                raw.anchor_points,
+                raw.stride_tensor,
+            )
+            boxes, scores, params, valid = (
+                res.boxes[0],
+                res.scores[0],
+                selected[0],
+                res.valid[0],
+            )
 
         # FLAME decode on the fixed-size kept set (ref detector.py:66);
         # fused path: the 6DoF transform rides the skinning einsum.
@@ -259,6 +298,14 @@ class HeadDetector:
         boxes = boxes / scale
 
         rpy = rotation_mats_to_rpy(R)
+        if self._compact_wire:
+            # ONE f32 metadata tensor + one (optionally f16) vertex tensor —
+            # two device->host transfers per call instead of six
+            meta = jnp.concatenate(
+                [boxes, scores[:, None], params, rpy,
+                 valid.astype(jnp.float32)[:, None]], axis=1,
+            )
+            return meta, verts.astype(self._wire_vdtype)
         return boxes, scores, params, verts, rpy, valid
 
     # ------------------------------------------------------------------ #
@@ -280,22 +327,24 @@ class HeadDetector:
         img, (pad_l, pad_t), scale = letterbox(
             jnp.asarray(original_image), self._image_size
         )
-        boxes, scores, params, verts, rpy, valid = self._detect(
+        out = self._detect(
             img,
             jnp.float32(confidence_threshold),
             jnp.asarray([pad_l, pad_t], jnp.float32),
             jnp.float32(scale),
         )
+        if self._compact_wire:
+            meta = np.asarray(out[0])
+            verts = np.asarray(out[1]).astype(np.float32)
+            boxes, scores = meta[:, :4], meta[:, 4]
+            params, rpy = meta[:, 5:418], meta[:, 418:421]
+            valid = meta[:, 421] > 0.5
+        else:
+            boxes, scores, params, verts, rpy, valid = map(np.asarray, out)
         return PredictionResult(
             original_image=original_image,
             heads=self._build_heads(
-                np.asarray(boxes),
-                np.asarray(scores),
-                np.asarray(params),
-                np.asarray(verts),
-                np.asarray(rpy),
-                np.asarray(valid),
-                scale,
+                boxes, scores, params, verts, rpy, valid, scale
             ),
         )
 

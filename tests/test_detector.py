@@ -94,6 +94,51 @@ def test_detection_count_monotone_in_threshold(detector):
     assert len(high.heads) <= len(low.heads)
 
 
+def test_compact_wire_matches_dense(detector):
+    """compact_wire=M with M >= post_nms_max must produce the same head list
+    as the dense six-tensor download (f32 wire: same rows, same math)."""
+    compact = HeadDetector(model="yolo_heads_n", image_size=64,
+                           compact_wire=100, wire_verts_dtype="f32")
+    rng = np.random.RandomState(7)
+    image = rng.randint(0, 255, (70, 90, 3), dtype=np.uint8)
+    a = detector(image, confidence_threshold=1e-6)
+    b = compact(image, confidence_threshold=1e-6)
+    assert len(a.heads) == len(b.heads) > 0
+    for ha, hb in zip(a.heads, b.heads):
+        assert ha.bbox == hb.bbox
+        assert ha.score == hb.score
+        np.testing.assert_allclose(
+            ha.vertices_3d, hb.vertices_3d, rtol=0, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(ha.flame_params.shape),
+            np.asarray(hb.flame_params.shape),
+            rtol=0, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ha.flame_params.rotation),
+            np.asarray(hb.flame_params.rotation),
+            rtol=0, atol=1e-5,
+        )
+
+
+def test_compact_wire_truncates_to_top_m(detector):
+    """A small M keeps the M highest-score detections, in dense-order prefix."""
+    compact = HeadDetector(model="yolo_heads_n", image_size=64,
+                           compact_wire=2, wire_verts_dtype="f16")
+    rng = np.random.RandomState(7)
+    image = rng.randint(0, 255, (70, 90, 3), dtype=np.uint8)
+    a = detector(image, confidence_threshold=1e-6)
+    b = compact(image, confidence_threshold=1e-6)
+    assert len(b.heads) == min(2, len(a.heads))
+    for ha, hb in zip(a.heads, b.heads):
+        assert ha.bbox == hb.bbox
+        # f16 vertex wire: <0.25 px quantization below 1024 px magnitude
+        np.testing.assert_allclose(
+            ha.vertices_3d, hb.vertices_3d, rtol=0, atol=0.5
+        )
+
+
 def test_packed_params_identical_results(detector):
     """The packed-variables program (ONE closed-over buffer instead of ~800;
     export.pack_variables) must be numerically identical to the default."""

@@ -72,6 +72,14 @@ HDT_BENCH_MODE=latency HDT_BENCH_LAT=device HDT_BENCH_MODEL=yolo_heads_s \
   HDT_BENCH_PACKED=1 HDT_BENCH_PRE=128 HDT_BENCH_POST=32 python bench.py \
   2>&1 | tee "$OUT/lat_packed_128_32.log"
 
+echo "=== 6c. e2e sync p50: default vs serving config (packed + compact wire) ==="
+HDT_BENCH_MODE=latency HDT_BENCH_MODEL=yolo_heads_s \
+  python bench.py 2>&1 | tee "$OUT/lat_e2e_default.log"
+HDT_BENCH_MODE=latency HDT_BENCH_MODEL=yolo_heads_s \
+  HDT_BENCH_PACKED=1 HDT_BENCH_WIREM=16 HDT_BENCH_WDT=f16 \
+  HDT_BENCH_PRE=128 HDT_BENCH_POST=32 python bench.py \
+  2>&1 | tee "$OUT/lat_e2e_serving.log"
+
 echo "=== 7. space-to-depth stem A/B (L empty regime @640) ==="
 HDT_BENCH_CKPT=none HDT_BENCH_INPUT=noise HDT_BENCH_MODEL=yolo_heads_l \
   HDT_BENCH_S2D=1 python bench.py 2>&1 | tee "$OUT/bench_l_s2d.log"
