@@ -197,6 +197,7 @@ class HeadDetector:
         if wire_verts_dtype not in ("f32", "f16"):
             raise ValueError(f"wire_verts_dtype must be f32|f16, got {wire_verts_dtype!r}")
         self._wire_vdtype = jnp.float16 if wire_verts_dtype == "f16" else jnp.float32
+        self._packed = None
         if packed_params is None:
             packed_params = os.environ.get("HDT_PACKED") == "1"
         if packed_params:
@@ -208,6 +209,7 @@ class HeadDetector:
             from head_detector_tpu.export import pack_variables
 
             flat, unpack = pack_variables(variables)
+            self._packed = (flat, unpack)
             self._detect = jax.jit(
                 lambda img, conf, pad, scale: self._detect_fn(
                     img, conf, pad, scale, variables=unpack(flat)
@@ -215,6 +217,9 @@ class HeadDetector:
             )
         else:
             self._detect = jax.jit(self._detect_fn)
+        self._detect_batch = jax.jit(
+            self._detect_batch_fn, static_argnames=("m",)
+        )
 
     # ------------------------------------------------------------------ #
     def _detect_fn(
@@ -307,6 +312,134 @@ class HeadDetector:
             )
             return meta, verts.astype(self._wire_vdtype)
         return boxes, scores, params, verts, rpy, valid
+
+    # ------------------------------------------------------------------ #
+    def _detect_batch_fn(
+        self,
+        images: jnp.ndarray,  # [B, S, S, 3] float
+        confidence_threshold: jnp.ndarray,  # scalar
+        pads: jnp.ndarray,  # [B, 2] (left, top) per image
+        scales: jnp.ndarray,  # [B] per image
+        m: int,  # batch-wide detection budget (static)
+    ):
+        """Batched detection with a compact wire: the top-``m``
+        (valid desc, score desc) detections batch-wide get the FLAME towers
+        + mesh decode and ride home as ONE [m, 423] f32 metadata tensor
+        (batch_idx, box, score, params, RPY, valid) plus one [m, V, 3]
+        vertex tensor.  Per-image un-letterboxing gathers each row's own
+        pad/scale.  The reference has no batch API (its detector loops
+        host-side, ``head_detector/detector.py:97-102``); this is the
+        TPU-serving-shaped equivalent of N independent calls."""
+        variables = self._variables
+        if self._packed is not None:
+            flat, unpack = self._packed
+            variables = unpack(flat)
+        if self._sparse:
+            decoded, raw, feats = self._model.apply(
+                variables, images, train=False, return_feats=True
+            )
+        else:
+            decoded, raw = self._model.apply(variables, images, train=False)
+        res = batched_nms(
+            decoded.boxes_xyxy,
+            decoded.scores,
+            decoded.flame_params,
+            confidence_threshold=confidence_threshold,
+            iou_threshold=self._iou_threshold,
+            pre_nms_max=self._pre_nms_max,
+            post_nms_max=self._post_nms_max,
+        )
+        from head_detector_tpu.ops.nms import compact_detections
+
+        cres = compact_detections(res, m)
+        if self._sparse:
+            from head_detector_tpu.ops.sparse_towers import sparse_flame_rows
+
+            rows = sparse_flame_rows(
+                variables, self._arch, feats,
+                cres.anchor_idx[None], batch_idx=cres.batch_idx[None],
+            )[0]
+        else:
+            rows = cres.flame_params.astype(jnp.float32)
+        params = globalize_flame(
+            rows, cres.anchor_idx, raw.anchor_points, raw.stride_tensor
+        )
+        R, verts = fused_project_vertices(self._flame, params, to_2d=False)
+
+        bi = cres.batch_idx
+        pad = pads[bi]  # [m, 2]
+        scale = scales[bi]  # [m]
+        verts = verts.at[:, :, 0].add(-pad[:, 0:1])
+        verts = verts.at[:, :, 1].add(-pad[:, 1:2])
+        verts = verts / scale[:, None, None]
+
+        boxes = jnp.clip(cres.boxes, 0, self._image_size)
+        boxes = boxes.at[:, jnp.array([0, 2])].add(-pad[:, 0:1])
+        boxes = boxes.at[:, jnp.array([1, 3])].add(-pad[:, 1:2])
+        boxes = boxes / scale[:, None]
+
+        rpy = rotation_mats_to_rpy(R)
+        meta = jnp.concatenate(
+            [bi.astype(jnp.float32)[:, None], boxes, cres.scores[:, None],
+             params, rpy, cres.valid.astype(jnp.float32)[:, None]], axis=1,
+        )
+        return meta, verts.astype(self._wire_vdtype)
+
+    def predict_batch(
+        self,
+        images: List[Union[str, Image.Image, np.ndarray]],
+        confidence_threshold: float = 0.5,
+        max_detections: Optional[int] = None,
+    ) -> List[PredictionResult]:
+        """Detect heads in a list of images with ONE device program.
+
+        ``max_detections`` bounds the number of decoded detections across
+        the whole batch (default ``16 * len(images)``, capped at
+        ``post_nms_max * len(images)``) — the highest-score detections
+        batch-wide win if the cap binds.  One jitted program per distinct
+        (batch size, budget); results per image match ``__call__`` up to
+        batching roundoff."""
+        originals = [self._convert_image(im) for im in images]
+        imgs, pads, scales = [], [], []
+        for im in originals:
+            img, (pad_l, pad_t), scale = letterbox(
+                jnp.asarray(im), self._image_size
+            )
+            imgs.append(img)
+            pads.append((float(pad_l), float(pad_t)))
+            scales.append(float(scale))
+        b = len(originals)
+        m = min(
+            max_detections or 16 * b,
+            self._post_nms_max * b,
+        )
+        meta, verts = self._detect_batch(
+            jnp.concatenate(imgs, axis=0),
+            jnp.float32(confidence_threshold),
+            jnp.asarray(pads, jnp.float32),
+            jnp.asarray(scales, jnp.float32),
+            m=m,
+        )
+        meta = np.asarray(meta)
+        verts = np.asarray(verts).astype(np.float32)
+        results = []
+        for i, orig in enumerate(originals):
+            sel = (meta[:, 0].astype(np.int32) == i) & (meta[:, 422] > 0.5)
+            results.append(
+                PredictionResult(
+                    original_image=orig,
+                    heads=self._build_heads(
+                        meta[sel, 1:5],
+                        meta[sel, 5],
+                        meta[sel, 6:419],
+                        verts[sel],
+                        meta[sel, 419:422],
+                        np.ones(int(sel.sum()), bool),
+                        scales[i],
+                    ),
+                )
+            )
+        return results
 
     # ------------------------------------------------------------------ #
     @staticmethod

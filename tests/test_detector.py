@@ -139,6 +139,46 @@ def test_compact_wire_truncates_to_top_m(detector):
         )
 
 
+def test_predict_batch_matches_single(detector):
+    """predict_batch over two different-shape images reproduces per-image
+    __call__ results (up to batching roundoff in the conv forward)."""
+    rng = np.random.RandomState(9)
+    images = [
+        rng.randint(0, 255, (80, 100, 3), dtype=np.uint8),
+        rng.randint(0, 255, (64, 64, 3), dtype=np.uint8),
+    ]
+    batch = detector.predict_batch(images, confidence_threshold=1e-6)
+    assert len(batch) == 2
+    for img, bres in zip(images, batch):
+        sres = detector(img, confidence_threshold=1e-6)
+        assert bres.original_image.shape == img.shape
+        assert len(bres.heads) == len(sres.heads) > 0
+        for hb, hs in zip(bres.heads, sres.heads):
+            assert abs(hb.score - hs.score) < 1e-5
+            np.testing.assert_allclose(
+                [hb.bbox.x, hb.bbox.y, hb.bbox.w, hb.bbox.h],
+                [hs.bbox.x, hs.bbox.y, hs.bbox.w, hs.bbox.h],
+                rtol=0, atol=1,
+            )
+            # batching changes conv reduction tiling: ~1e-4 relative to the
+            # head's own vertex magnitude (random weights blow magnitudes up
+            # to ~1e5, and elements near zero make plain rtol flaky)
+            mag = float(np.abs(hs.vertices_3d).max())
+            assert (
+                float(np.abs(hb.vertices_3d - hs.vertices_3d).max())
+                <= 1e-3 * mag
+            )
+
+
+def test_predict_batch_budget_caps_detections(detector):
+    rng = np.random.RandomState(9)
+    images = [rng.randint(0, 255, (64, 64, 3), dtype=np.uint8)] * 2
+    batch = detector.predict_batch(
+        images, confidence_threshold=1e-6, max_detections=3
+    )
+    assert sum(len(r.heads) for r in batch) <= 3
+
+
 def test_packed_params_identical_results(detector):
     """The packed-variables program (ONE closed-over buffer instead of ~800;
     export.pack_variables) must be numerically identical to the default."""
