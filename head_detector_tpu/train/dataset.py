@@ -56,12 +56,33 @@ def decode_dad_annotation(
     padded = max(1, 1 << (n - 1).bit_length()) if n else 1
     if padded != n:
         params = jnp.pad(params, ((0, padded - n), (0, 0)))
-    verts, proj, rot = _decode_dad_jit(flame_model, params)
+    verts, proj, rot = _decode_dad_jit()(flame_model, params)
     return verts[:n], proj[:n], rot[:n]
 
 
-@jax.jit
-def _decode_dad_jit(
+_DECODE_DAD_JIT = None
+
+
+def _decode_dad_jit():
+    """The DAD GT decode, jitted onto the host CPU backend (lazily).
+
+    ``decode_dad_annotation`` runs inside dataset ``__getitem__`` on
+    _Prefetcher producer threads; dispatching it to the axon TPU relay from
+    worker threads is both a per-sample round trip (round-3 loader lesson)
+    and a wedge risk (round 4: cross-thread relay traffic froze a campaign
+    mid-epoch).  GT decode is tiny — the host CPU backend is the right home.
+    """
+    global _DECODE_DAD_JIT
+    if _DECODE_DAD_JIT is None:
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = None  # CPU platform unavailable: fall back to default
+        _DECODE_DAD_JIT = jax.jit(_decode_dad_body, device=cpu)
+    return _DECODE_DAD_JIT
+
+
+def _decode_dad_body(
     flame_model: FlameModel, params: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     p = FlameParams.from_3dmm(params, FLAME_CONSTS)
@@ -360,12 +381,16 @@ def collate_samples(
     if wire_dtype is not None:
         gt_v2d = gt_v2d.astype(wire_dtype)
         gt_v3d = gt_v3d.astype(wire_dtype)
+    # Host numpy leaves, NOT jnp: collate runs on _Prefetcher producer
+    # threads, and host->device uploads from worker threads wedged the axon
+    # relay mid-campaign (see collate_param_samples docstring).  jit dispatch
+    # uploads numpy leaves from the main thread at call time.
     targets = Targets(
-        gt_bboxes=jnp.asarray(gt_bboxes),
-        gt_vertices_2d=jnp.asarray(gt_v2d),
-        gt_vertices_3d=jnp.asarray(gt_v3d),
-        gt_rotations=jnp.asarray(gt_rot),
-        pad_gt_mask=jnp.asarray(mask),
+        gt_bboxes=gt_bboxes,
+        gt_vertices_2d=gt_v2d,
+        gt_vertices_3d=gt_v3d,
+        gt_rotations=gt_rot,
+        pad_gt_mask=mask,
     )
     return images, targets
 

@@ -415,6 +415,14 @@ def collate_param_samples(
 
     ``wire_dtype`` is accepted for interface parity with ``collate_samples``
     but ignored: the params wire is already compact, so it always ships f32.
+
+    The returned ParamTargets leaves are **host numpy** arrays, not device
+    arrays: collate runs on _Prefetcher producer threads, and a
+    ``jnp.asarray`` there is a host->device upload issued from a worker
+    thread — on the axon relay that cross-thread traffic wedged a campaign
+    mid-epoch (round 4, chunk 0 froze at step ~50 with every thread
+    sleeping).  jit dispatch uploads numpy leaves from the main thread at
+    call time instead.
     """
     b = len(samples)
     images = np.stack([s.image for s in samples])
@@ -435,8 +443,8 @@ def collate_param_samples(
         gt_offsets[i, :n] = s.offsets[:n]
         mask[i, :n] = 1.0
     return images, ParamTargets(
-        gt_bboxes=jnp.asarray(gt_bboxes),
-        gt_flame=jnp.asarray(gt_flame),
-        gt_offsets=jnp.asarray(gt_offsets),
-        pad_gt_mask=jnp.asarray(mask),
+        gt_bboxes=gt_bboxes,
+        gt_flame=gt_flame,
+        gt_offsets=gt_offsets,
+        pad_gt_mask=mask,
     )
