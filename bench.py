@@ -13,9 +13,11 @@ Extra modes via HDT_BENCH_MODE (the other BASELINE.json configs):
   streaming config 5 — 1024px shard pipeline (StreamingDetector)
 
 The reference repo publishes no throughput numbers (BASELINE.md); the
-baseline anchor is this benchmark's own first recorded run, stored in
-``BENCH_BASELINE.json`` — ``vs_baseline`` is the speedup ratio against that
-anchor (1.0 on the anchoring run).
+baseline anchors are this benchmark's own first recorded runs, stored in
+``BENCH_BASELINE.json`` keyed by model|mode|size|batch|regime —
+``vs_baseline`` is the speedup ratio against the anchor measured on the
+SAME config (1.0 + ``anchored_this_run`` on the anchoring run; never a
+cross-architecture or cross-regime ratio — ADVICE r4).
 
 Prints exactly ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
@@ -649,32 +651,47 @@ def main():
         metric = (f"images/sec/chip @{SIZE}px {suffix} "
                   f"({MODEL}, bf16 fused, batch {BATCH}{regime})")
 
-    baseline = None
+    # Per-config baseline anchors (ADVICE r4): a speedup ratio is only
+    # meaningful against an anchor measured on the SAME model/mode/size/
+    # batch/input-regime — the r4 headline silently divided a loaded-regime
+    # yolo_heads_m run by the empty-regime yolo_heads_l anchor.  The anchor
+    # file now maps config keys to values; the legacy flat record migrates
+    # to its own key (it was the empty-regime L@640 b32 pipeline run).
+    loaded = bool(os.environ.get("HDT_BENCH_CKPT")) and \
+        os.environ.get("HDT_BENCH_INPUT") == "render"
+    key = f"{MODEL}|{MODE}|{SIZE}|b{BATCH}|{'loaded' if loaded else 'empty'}"
+    anchors = {}
     if os.path.isfile(BASELINE_FILE):
         try:
             with open(BASELINE_FILE) as f:
-                baseline = float(json.load(f)["value"])
+                rec = json.load(f)
+            anchors = rec.get("anchors", {})
+            if not anchors and "value" in rec:  # legacy flat record
+                legacy = (f"{rec.get('model', MODEL)}|{rec.get('mode', 'pipeline')}"
+                          f"|{rec.get('size', SIZE)}|b{rec.get('batch', BATCH)}|empty")
+                anchors = {legacy: float(rec["value"])}
         except Exception:
-            baseline = None
-    if baseline is None:
+            anchors = {}
+    anchored_this_run = key not in anchors
+    if anchored_this_run:
+        anchors[key] = images_per_sec
         try:
             with open(BASELINE_FILE, "w") as f:
-                json.dump(
-                    {"value": images_per_sec, "batch": BATCH, "size": SIZE,
-                     "model": MODEL, "mode": MODE, "device": str(jax.devices()[0])},
-                    f,
-                )
+                json.dump({"anchors": anchors,
+                           "device": str(jax.devices()[0])}, f, indent=1)
         except OSError:
             pass
-        baseline = images_per_sec
 
     payload = {
         "metric": metric,
         "value": round(images_per_sec, 2),
         "unit": "images/sec",
-        "vs_baseline": round(images_per_sec / baseline, 3),
+        "vs_baseline": round(images_per_sec / anchors[key], 3),
+        "baseline_key": key,
         "contended": _CONTENDED,
     }
+    if anchored_this_run:
+        payload["anchored_this_run"] = True
     if _FLOPS_PER_IMAGE > 0:
         from head_detector_tpu.profiling import V5E_BF16_PEAK_FLOPS, mfu
 
