@@ -270,6 +270,9 @@ def main(argv=None) -> int:
     ap.add_argument("--thresholds", default="0.05,0.1,0.2,0.3,0.4,0.5,0.6,0.7")
     ap.add_argument("--protocol-threshold", type=float, default=0.5)
     ap.add_argument("--assigner-batches", type=int, default=8)
+    ap.add_argument("--records-cache", default=None,
+                    help="npz path: save/reuse the TPU prediction pass so "
+                         "host-side analysis reruns never recompile")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -302,8 +305,17 @@ def main(argv=None) -> int:
         transforms=default_val_transforms(args.image_size))
 
     print(f"[diag] step={step} which={args.which} val={len(val_ds)} imgs")
-    records = collect_predictions(
-        variables, model, flame, val_ds, args.batch_size, args.max_boxes, head_idx)
+    cache = args.records_cache
+    if cache and os.path.exists(cache):
+        records = list(np.load(cache, allow_pickle=True)["records"])
+        print(f"[diag] loaded {len(records)} cached prediction records")
+    else:
+        records = collect_predictions(
+            variables, model, flame, val_ds, args.batch_size, args.max_boxes,
+            head_idx)
+        if cache:
+            np.savez_compressed(cache, records=np.asarray(records, object))
+            print(f"[diag] cached prediction records -> {cache}")
     thresholds = [float(t) for t in args.thresholds.split(",")]
     report = {
         "step": step, "which": args.which, "n_images": len(records),
@@ -319,10 +331,10 @@ def main(argv=None) -> int:
             variables, model, flame, train_ds, args.batch_size,
             args.max_boxes, args.assigner_batches)
 
-    print(json.dumps(report, indent=1))
+    print(json.dumps(report, indent=1, default=float))
     if args.out:
         with open(args.out, "w") as f:
-            json.dump(report, f, indent=1)
+            json.dump(report, f, indent=1, default=float)
         print(f"[diag] wrote {args.out}")
     return 0
 
