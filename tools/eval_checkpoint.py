@@ -27,7 +27,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def evaluate(variables, model, flame, dataset, batch_size=16, max_boxes=30):
+def evaluate(variables, model, flame, dataset, batch_size=16, max_boxes=30,
+             forward=None):
     import jax
     import jax.numpy as jnp
 
@@ -51,7 +52,13 @@ def evaluate(variables, model, flame, dataset, batch_size=16, max_boxes=30):
         "KeypointsFailureRate": KeypointsFailureRate(callback, indexes_subset="head"),
         "RPYError": RPYError(callback),
     }
-    forward = jax.jit(lambda v, x: model.apply(v, x, train=False)[0])
+    if forward is None:
+        # NOTE: a fresh jax.jit wrapper per evaluate() call recompiles the
+        # forward (full cold axon compile per candidate arm — the round-5
+        # scorer lesson).  Multi-candidate callers must build ONE
+        # jit(lambda v, x: model.apply(v, x, train=False)[0]) and pass it in;
+        # params ride as an argument so every arm shares the executable.
+        forward = jax.jit(lambda v, x: model.apply(v, x, train=False)[0])
     loader = _Prefetcher(dataset, batch_size, max_boxes, num_workers=4, seed=0)
     n_images = 0
     for images, targets in loader:

@@ -85,11 +85,20 @@ def main(argv=None) -> int:
         candidates[f"avg{len(avg_steps)}_ema"] = {
             "params": avg["ema_params"], "batch_stats": avg["batch_stats"]}
 
+    import jax
+
+    # ONE jitted forward shared by every candidate arm: params are an
+    # argument, so arms reuse the compiled executable instead of each
+    # repaying the cold axon compile (which is what cut the avg-best arms
+    # out of the first round-5 scorer run).
+    shared_forward = jax.jit(lambda v, x: model.apply(v, x, train=False)[0])
+
     results = {}
     for name, variables in candidates.items():
         results[name] = evaluate(variables, model, flame, dataset,
                                  batch_size=args.batch_size,
-                                 max_boxes=args.max_boxes)
+                                 max_boxes=args.max_boxes,
+                                 forward=shared_forward)
         print(f"[score] {name}: {results[name]}")
 
     # winner by the watched metric among the shippable (EMA) candidates
