@@ -101,8 +101,25 @@ def single_image_nms(
     iou_threshold: float = 0.5,
     pre_nms_max: int = 1000,
     post_nms_max: int = 100,
+    fuse_flame: bool = False,
+    fusion_iou: float = 0.7,
 ) -> NMSResult:
-    """One image: conf filter -> top-k -> greedy NMS -> keep post_nms_max."""
+    """One image: conf filter -> top-k -> greedy NMS -> keep post_nms_max.
+
+    ``fuse_flame``: weighted-box-fusion-style ensembling of the FLAME rows
+    (Solovyev et al., WBF).  Each kept detection's params become the
+    score-weighted mean over the confidence-passing candidates it suppressed
+    (IoU >= ``fusion_iou``, candidate assigned to its best-IoU kept box).
+    Neighboring anchors regress the same head independently; the round-5
+    failure-mode diagnosis measured their per-head 2D translation residual as
+    zero-mean noise (std ~5.3 px), so averaging k neighbors cuts that term
+    ~sqrt(k).  Rotation rides the continuous 6D rep, which linearizes under
+    small perturbations (that is the point of the rep), so a weighted mean of
+    full 413-param rows is well-posed.  Boxes and scores are NOT fused —
+    detection matching stays bit-identical to plain NMS; only the FLAME rows
+    (hence landmarks/mesh) change.  No reference counterpart
+    (``yolo_heads_post_prediction_callback.py:42-99`` keeps the argmax row).
+    """
     scores = scores.reshape(-1)
     num_anchors = scores.shape[0]
     k = min(pre_nms_max, num_anchors)
@@ -130,14 +147,42 @@ def single_image_nms(
     # accumulates in f32, so the single-pass contraction reproduces the
     # gather exactly (asserted against the gather in tests/test_nms.py).
     final_idx = top_idx[sel]  # [post_nms_max] indices into the anchor axis
-    onehot = (final_idx[:, None] == jnp.arange(num_anchors)[None, :]).astype(
-        flame_params.dtype
-    )
-    selected_flame = jnp.dot(
-        onehot,
-        flame_params,
-        preferred_element_type=flame_params.dtype,
-    )
+    if fuse_flame:
+        # Candidate FLAME rows [k, P]: same streaming one-hot contraction as
+        # below, just over the whole conf-passing top-k set.
+        cand_onehot = (top_idx[:, None] == jnp.arange(num_anchors)[None, :]).astype(
+            flame_params.dtype
+        )
+        cand_params = jnp.dot(
+            cand_onehot, flame_params, preferred_element_type=jnp.float32
+        )  # [k, P] f32 accumulate
+        iou_ck = box_iou_xyxy(top_boxes[sel], top_boxes)  # [K_kept, k]
+        iou_ck = jnp.where(out_valid[:, None], iou_ck, -1.0)
+        # Each candidate fuses into exactly ONE kept box — its best-IoU one —
+        # so a candidate suppressed early in a crowd can't bleed a different
+        # head's params into a lower-scoring kept box.
+        best_kept = jnp.argmax(iou_ck, axis=0)  # [k]
+        assign = best_kept[None, :] == jnp.arange(sel.shape[0])[:, None]
+        w = (
+            top_scores[None, :]
+            * (iou_ck >= fusion_iou)
+            * assign
+            * top_valid[None, :]
+        ).astype(jnp.float32)  # [K_kept, k]
+        fused = jnp.dot(w, cand_params, preferred_element_type=jnp.float32)
+        fused = fused / jnp.maximum(w.sum(axis=1, keepdims=True), 1e-12)
+        # Every kept box has itself as a candidate (IoU 1 >= fusion_iou), so
+        # the weight row-sum is >= its own score > 0 for valid slots.
+        selected_flame = fused.astype(flame_params.dtype)
+    else:
+        onehot = (final_idx[:, None] == jnp.arange(num_anchors)[None, :]).astype(
+            flame_params.dtype
+        )
+        selected_flame = jnp.dot(
+            onehot,
+            flame_params,
+            preferred_element_type=flame_params.dtype,
+        )
 
     return NMSResult(
         boxes=jnp.where(out_valid[:, None], top_boxes[sel], 0.0),
@@ -192,6 +237,8 @@ def batched_nms(
     iou_threshold: float = 0.5,
     pre_nms_max: int = 1000,
     post_nms_max: int = 100,
+    fuse_flame: bool = False,
+    fusion_iou: float = 0.7,
 ) -> NMSResult:
     """Batch NMS (vmapped). All outputs [B, post_nms_max, ...] + valid mask."""
     if scores.ndim == 3:
@@ -204,5 +251,7 @@ def batched_nms(
         iou_threshold=iou_threshold,
         pre_nms_max=pre_nms_max,
         post_nms_max=post_nms_max,
+        fuse_flame=fuse_flame,
+        fusion_iou=fusion_iou,
     )
     return jax.vmap(fn)(boxes_xyxy, scores, flame_params)

@@ -42,12 +42,19 @@ class YoloHeadsPostPredictionCallback:
         nms_iou_threshold: float = 0.7,
         pre_nms_max_predictions: int = 300,
         post_nms_max_predictions: int = 30,
+        param_fusion: bool = False,
+        fusion_iou: float = 0.7,
     ):
         self.flame_model = flame_model or FlameModel.from_assets()
         self.confidence_threshold = confidence_threshold
         self.nms_iou_threshold = nms_iou_threshold
         self.pre_nms_max_predictions = pre_nms_max_predictions
         self.post_nms_max_predictions = post_nms_max_predictions
+        # WBF-style score-weighted FLAME-row averaging over each kept box's
+        # suppressed neighbor anchors (ops/nms.py single_image_nms docstring).
+        # Off by default: plain NMS is the reference-parity decode.
+        self.param_fusion = param_fusion
+        self.fusion_iou = fusion_iou
         self._device_fn = jax.jit(self._decode)
 
     def _decode(self, boxes, scores, flame_params):
@@ -59,6 +66,8 @@ class YoloHeadsPostPredictionCallback:
             iou_threshold=self.nms_iou_threshold,
             pre_nms_max=self.pre_nms_max_predictions,
             post_nms_max=self.post_nms_max_predictions,
+            fuse_flame=self.param_fusion,
+            fusion_iou=self.fusion_iou,
         )
         b, k, p = res.flame_params.shape
         flat = res.flame_params.reshape(b * k, p)

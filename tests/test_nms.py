@@ -172,3 +172,132 @@ def test_iou_matrix(rng):
     for i in range(10):
         for j in range(7):
             np.testing.assert_allclose(got[i, j], _np_iou(a[i], b[j]), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# WBF-style FLAME-param fusion (fuse_flame): score-weighted averaging of the
+# rows each kept box suppressed.  Detection outputs (boxes/scores/valid/
+# anchor_idx) must be bit-identical to plain NMS; only flame_params change.
+# ---------------------------------------------------------------------------
+
+
+def _nms(boxes, scores, params, **kw):
+    return single_image_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(params), **kw
+    )
+
+
+def test_fusion_detection_outputs_unchanged(rng):
+    n = 200
+    boxes = _random_boxes(rng, n)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    params = rng.normal(size=(n, 13)).astype(np.float32)
+    kw = dict(confidence_threshold=0.3, iou_threshold=0.5, post_nms_max=50)
+    plain = _nms(boxes, scores, params, **kw)
+    fused = _nms(boxes, scores, params, fuse_flame=True, **kw)
+    np.testing.assert_array_equal(np.asarray(plain.boxes), np.asarray(fused.boxes))
+    np.testing.assert_array_equal(np.asarray(plain.scores), np.asarray(fused.scores))
+    np.testing.assert_array_equal(np.asarray(plain.valid), np.asarray(fused.valid))
+    np.testing.assert_array_equal(
+        np.asarray(plain.anchor_idx), np.asarray(fused.anchor_idx)
+    )
+
+
+def test_fusion_isolated_boxes_are_identity(rng):
+    # Non-overlapping detections: each kept box's only candidate is itself,
+    # so fusion must return the original rows exactly (weights: own score).
+    boxes = np.array(
+        [[0, 0, 50, 50], [200, 200, 260, 260], [500, 500, 540, 540]], np.float32
+    )
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    params = rng.normal(size=(3, 9)).astype(np.float32)
+    plain = _nms(boxes, scores, params)
+    fused = _nms(boxes, scores, params, fuse_flame=True)
+    np.testing.assert_allclose(
+        np.asarray(fused.flame_params), np.asarray(plain.flame_params),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_fusion_is_score_weighted_mean_of_cluster(rng):
+    # One head seen by three anchors (pairwise IoU > 0.7) + one far box:
+    # the cluster's kept row becomes the score-weighted mean of all three.
+    boxes = np.array(
+        [
+            [0, 0, 100, 100],
+            [1, 1, 99, 99],
+            [2, 2, 100, 100],
+            [400, 400, 480, 480],
+        ],
+        np.float32,
+    )
+    scores = np.array([0.9, 0.8, 0.7, 0.6], np.float32)
+    params = rng.normal(size=(4, 5)).astype(np.float32)
+    res = _nms(boxes, scores, params, iou_threshold=0.5, fuse_flame=True,
+               fusion_iou=0.7)
+    valid = np.asarray(res.valid)
+    assert int(valid.sum()) == 2
+    w = scores[:3]
+    expected = (w[:, None] * params[:3]).sum(0) / w.sum()
+    got = np.asarray(res.flame_params)[valid]
+    np.testing.assert_allclose(got[0], expected, rtol=1e-5, atol=1e-5)
+    # the isolated box fuses only itself
+    np.testing.assert_allclose(got[1], params[3], rtol=1e-6, atol=1e-6)
+
+
+def test_fusion_candidate_assigned_to_best_iou_kept_box_only():
+    # Two kept boxes A (score .9) and B (score .8) with IoU(A,B) ~ 0.45
+    # (< nms 0.5 so both survive).  Candidate C is suppressed and overlaps
+    # BOTH above fusion_iou, but its best-IoU match is B — it must fuse into
+    # B only, never into A.
+    a = [0.0, 0.0, 100.0, 100.0]
+    b = [30.0, 0.0, 130.0, 100.0]  # IoU(A,B) = 70/130 ~ 0.538... pick wider
+    b = [38.0, 0.0, 138.0, 100.0]  # inter 62 -> IoU 62/138 ~ 0.449
+    c = [34.0, 0.0, 132.0, 100.0]  # closer to B than to A
+    boxes = np.array([a, b, c], np.float32)
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    iou_ab = _np_iou(boxes[0], boxes[1])
+    iou_ac = _np_iou(boxes[0], boxes[2])
+    iou_bc = _np_iou(boxes[1], boxes[2])
+    assert iou_ab < 0.5 and iou_bc > iou_ac  # construction sanity
+    params = np.array([[1.0, 0.0], [0.0, 1.0], [10.0, 10.0]], np.float32)
+    res = _nms(boxes, scores, params, iou_threshold=0.5, fuse_flame=True,
+               fusion_iou=min(iou_ac, iou_bc) - 0.01)
+    valid = np.asarray(res.valid)
+    assert int(valid.sum()) == 2
+    got = np.asarray(res.flame_params)[valid]
+    # A keeps its own params untouched (C assigned to B)
+    np.testing.assert_allclose(got[0], params[0], rtol=1e-6, atol=1e-6)
+    # B = weighted mean of {B, C}
+    w = scores[1:]
+    expected_b = (w[:, None] * params[1:]).sum(0) / w.sum()
+    np.testing.assert_allclose(got[1], expected_b, rtol=1e-5, atol=1e-5)
+
+
+def test_fusion_ignores_subconfidence_candidates(rng):
+    # A neighbor below the confidence threshold must not leak into the mean.
+    boxes = np.array([[0, 0, 100, 100], [1, 1, 99, 99]], np.float32)
+    scores = np.array([0.9, 0.2], np.float32)
+    params = np.array([[1.0, 2.0], [100.0, 200.0]], np.float32)
+    res = _nms(boxes, scores, params, confidence_threshold=0.5,
+               fuse_flame=True)
+    valid = np.asarray(res.valid)
+    assert int(valid.sum()) == 1
+    np.testing.assert_allclose(
+        np.asarray(res.flame_params)[valid][0], params[0], rtol=1e-6, atol=1e-6
+    )
+
+
+def test_fusion_batched_and_empty(rng):
+    b, a = 2, 64
+    boxes = np.stack([_random_boxes(rng, a) for _ in range(b)])
+    scores = rng.uniform(0, 1, (b, a)).astype(np.float32)
+    scores[1] = 0.01  # image 2: nothing passes conf
+    params = rng.normal(size=(b, a, 413)).astype(np.float32)
+    res = batched_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(params),
+        confidence_threshold=0.5, fuse_flame=True, post_nms_max=16,
+    )
+    assert np.asarray(res.flame_params).shape == (b, 16, 413)
+    assert not bool(np.asarray(res.valid)[1].any())
+    assert np.isfinite(np.asarray(res.flame_params)).all()

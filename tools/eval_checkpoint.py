@@ -28,7 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def evaluate(variables, model, flame, dataset, batch_size=16, max_boxes=30,
-             forward=None):
+             forward=None, param_fusion=False, fusion_iou=0.7,
+             confidence_threshold=0.5):
     import jax
     import jax.numpy as jnp
 
@@ -42,10 +43,12 @@ def evaluate(variables, model, flame, dataset, batch_size=16, max_boxes=30,
 
     callback = YoloHeadsPostPredictionCallback(
         flame_model=flame,
-        confidence_threshold=0.5,
+        confidence_threshold=confidence_threshold,
         nms_iou_threshold=0.7,
         pre_nms_max_predictions=300,
         post_nms_max_predictions=30,
+        param_fusion=param_fusion,
+        fusion_iou=fusion_iou,
     )
     metrics = {
         "KeypointsNME": KeypointsNME(callback, indexes_subset="head"),
@@ -104,6 +107,13 @@ def main(argv=None) -> int:
                          "kind) as a flax msgpack for HeadDetector/bench")
     ap.add_argument("--no-eval", action="store_true",
                     help="skip metric evaluation (export-only)")
+    ap.add_argument("--param-fusion", action="store_true",
+                    help="WBF-style score-weighted FLAME-row fusion over "
+                         "each kept box's suppressed neighbor anchors "
+                         "(ops/nms.py); detection matching is unchanged")
+    ap.add_argument("--fusion-iou", type=float, default=0.7)
+    ap.add_argument("--conf", type=float, default=0.5,
+                    help="decode confidence threshold (protocol: 0.5)")
     ap.add_argument("--average-best", type=int, default=0, metavar="N",
                     help="score the uniform weight-average of the N best "
                          "on-disk checkpoints by the watched metric — the "
@@ -194,7 +204,10 @@ def main(argv=None) -> int:
             continue
         result = evaluate(variables, model, flame, dataset,
                           batch_size=args.batch_size,
-                          max_boxes=args.max_boxes)
+                          max_boxes=args.max_boxes,
+                          param_fusion=args.param_fusion,
+                          fusion_iou=args.fusion_iou,
+                          confidence_threshold=args.conf)
         print(f"[step {step}] {kind}: {result}")
     return 0
 
