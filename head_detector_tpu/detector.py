@@ -126,6 +126,9 @@ class HeadDetector:
         packed_params: Optional[bool] = None,
         compact_wire: Optional[int] = None,
         wire_verts_dtype: str = "f32",
+        param_fusion: bool = False,
+        fusion_neighbors: int = 4,
+        fusion_iou: float = 0.7,
     ):
         """``deploy=True`` (default) structurally reparameterises every
         QARepVGG block into a single conv (export.fuse_qarepvgg) — the
@@ -144,7 +147,17 @@ class HeadDetector:
         LBS mesh decode) also shrink from post_nms_max rows to M.  The
         reference consumes results strictly per-kept-head
         (``head_detector/detector.py:61-90``), so for any image with <= M
-        detections the observable ``PredictionResult`` is unchanged."""
+        detections the observable ``PredictionResult`` is unchanged.
+
+        ``param_fusion=True`` averages each kept head's FLAME params over
+        its top-``fusion_neighbors`` suppressed neighbor anchors
+        (score-weighted, WBF-style — ops/nms.py ``fuse_flame`` docstring):
+        neighboring anchors regress the same head with independent ~5 px
+        translation noise, so the mean is a better head than any single
+        row.  Boxes/scores/detection set are unchanged.  In the sparse
+        path the towers run at the [K, n] neighbor union (still tiny);
+        fusion happens after per-anchor globalization, which is exactly
+        equivalent to fusing globalized dense rows."""
         self._image_size = image_size
         self._pre_nms_max = pre_nms_max
         self._post_nms_max = post_nms_max
@@ -193,6 +206,9 @@ class HeadDetector:
             skip_flame=self._sparse,
         )
         self._variables = variables
+        self._param_fusion = bool(param_fusion)
+        self._fusion_neighbors = int(fusion_neighbors)
+        self._fusion_iou = float(fusion_iou)
         self._compact_wire = int(compact_wire) if compact_wire else 0
         if wire_verts_dtype not in ("f32", "f16"):
             raise ValueError(f"wire_verts_dtype must be f32|f16, got {wire_verts_dtype!r}")
@@ -222,6 +238,52 @@ class HeadDetector:
         )
 
     # ------------------------------------------------------------------ #
+    def _fused_rows(
+        self,
+        variables,
+        feats,
+        decoded,
+        nb_idx: jnp.ndarray,  # [K, n] neighbor anchor ids per output slot
+        nb_w: jnp.ndarray,  # [K, n] fusion weights
+        raw,
+        batch_idx: Optional[jnp.ndarray] = None,  # [K] source image per slot
+    ) -> jnp.ndarray:
+        """Globalized, score-weighted-fused FLAME params [K, 413] (f32).
+
+        Each neighbor row is globalized at its OWN anchor before averaging;
+        weighted-mean of per-anchor globalizations equals fusing globalized
+        dense rows, because globalization is a per-anchor affine on the same
+        translation/scale slots (ops/nms.py NeighborInfo docstring)."""
+        k, n = nb_idx.shape
+        flat = nb_idx.reshape(k * n)
+        if self._sparse:
+            from head_detector_tpu.ops.sparse_towers import sparse_flame_rows
+
+            bidx = (
+                None
+                if batch_idx is None
+                else jnp.repeat(batch_idx, n).reshape(1, k * n)
+            )
+            rows = sparse_flame_rows(
+                variables, self._arch, feats, flat[None], batch_idx=bidx
+            )[0]
+        else:
+            dense = decoded.flame_params  # [B, A, P] anchor-local
+            bidx = (
+                jnp.zeros((k * n,), jnp.int32)
+                if batch_idx is None
+                else jnp.repeat(batch_idx, n)
+            )
+            rows = dense[bidx, flat].astype(jnp.float32)  # [k*n, P] small gather
+        glob = globalize_flame(
+            rows.reshape(k * n, -1).astype(jnp.float32),
+            flat,
+            raw.anchor_points,
+            raw.stride_tensor,
+        ).reshape(k, n, -1)
+        wsum = jnp.maximum(nb_w.sum(axis=1, keepdims=True), 1e-12)
+        return (nb_w[..., None] * glob).sum(axis=1) / wsum
+
     def _detect_fn(
         self,
         image: jnp.ndarray,  # [1, S, S, 3] float
@@ -237,6 +299,8 @@ class HeadDetector:
             )
         else:
             decoded, raw = self._model.apply(variables, image, train=False)
+            feats = None
+        nb = None
         res = batched_nms(
             decoded.boxes_xyxy,
             decoded.scores,
@@ -245,41 +309,60 @@ class HeadDetector:
             iou_threshold=self._iou_threshold,
             pre_nms_max=self._pre_nms_max,
             post_nms_max=self._post_nms_max,
+            fusion_iou=self._fusion_iou,
+            return_neighbors=self._fusion_neighbors if self._param_fusion else 0,
         )
+        if self._param_fusion:
+            res, nb = res
         if self._compact_wire:
             # compact wire: only the top-M (valid desc, score desc) slots get
             # the FLAME towers + mesh decode and ride the download
             from head_detector_tpu.ops.nms import compact_detections
 
             cres = compact_detections(res, self._compact_wire)
-            if self._sparse:
-                from head_detector_tpu.ops.sparse_towers import sparse_flame_rows
-
-                rows = sparse_flame_rows(
-                    variables, self._arch, feats,
-                    cres.anchor_idx[None], batch_idx=cres.batch_idx[None],
-                )[0]
-            else:
-                rows = cres.flame_params.astype(jnp.float32)
-            params = globalize_flame(
-                rows, cres.anchor_idx, raw.anchor_points, raw.stride_tensor
-            )
-            boxes, scores, valid = cres.boxes, cres.scores, cres.valid
-        else:
-            if self._sparse:
-                from head_detector_tpu.ops.sparse_towers import sparse_flame_rows
-
-                rows = sparse_flame_rows(
-                    variables, self._arch, feats, res.anchor_idx
+            if nb is not None:
+                # single-image call: batch axis is 1, so compact slots map
+                # straight back to NMS slots via slot_idx
+                params = self._fused_rows(
+                    variables, feats, decoded,
+                    nb.anchor_idx[0][cres.slot_idx],
+                    nb.weights[0][cres.slot_idx], raw,
                 )
             else:
-                rows = res.flame_params.astype(jnp.float32)
-            selected = globalize_flame(
-                rows,
-                res.anchor_idx,
-                raw.anchor_points,
-                raw.stride_tensor,
-            )
+                if self._sparse:
+                    from head_detector_tpu.ops.sparse_towers import sparse_flame_rows
+
+                    rows = sparse_flame_rows(
+                        variables, self._arch, feats,
+                        cres.anchor_idx[None], batch_idx=cres.batch_idx[None],
+                    )[0]
+                else:
+                    rows = cres.flame_params.astype(jnp.float32)
+                params = globalize_flame(
+                    rows, cres.anchor_idx, raw.anchor_points, raw.stride_tensor
+                )
+            boxes, scores, valid = cres.boxes, cres.scores, cres.valid
+        else:
+            if nb is not None:
+                selected = self._fused_rows(
+                    variables, feats, decoded, nb.anchor_idx[0],
+                    nb.weights[0], raw,
+                )[None]
+            else:
+                if self._sparse:
+                    from head_detector_tpu.ops.sparse_towers import sparse_flame_rows
+
+                    rows = sparse_flame_rows(
+                        variables, self._arch, feats, res.anchor_idx
+                    )
+                else:
+                    rows = res.flame_params.astype(jnp.float32)
+                selected = globalize_flame(
+                    rows,
+                    res.anchor_idx,
+                    raw.anchor_points,
+                    raw.stride_tensor,
+                )
             boxes, scores, params, valid = (
                 res.boxes[0],
                 res.scores[0],
@@ -340,6 +423,8 @@ class HeadDetector:
             )
         else:
             decoded, raw = self._model.apply(variables, images, train=False)
+            feats = None
+        nb = None
         res = batched_nms(
             decoded.boxes_xyxy,
             decoded.scores,
@@ -348,22 +433,36 @@ class HeadDetector:
             iou_threshold=self._iou_threshold,
             pre_nms_max=self._pre_nms_max,
             post_nms_max=self._post_nms_max,
+            fusion_iou=self._fusion_iou,
+            return_neighbors=self._fusion_neighbors if self._param_fusion else 0,
         )
+        if self._param_fusion:
+            res, nb = res
         from head_detector_tpu.ops.nms import compact_detections
 
         cres = compact_detections(res, m)
-        if self._sparse:
+        if nb is not None:
+            params = self._fused_rows(
+                variables, feats, decoded,
+                nb.anchor_idx[cres.batch_idx, cres.slot_idx],
+                nb.weights[cres.batch_idx, cres.slot_idx], raw,
+                batch_idx=cres.batch_idx,
+            )
+        elif self._sparse:
             from head_detector_tpu.ops.sparse_towers import sparse_flame_rows
 
             rows = sparse_flame_rows(
                 variables, self._arch, feats,
                 cres.anchor_idx[None], batch_idx=cres.batch_idx[None],
             )[0]
+            params = globalize_flame(
+                rows, cres.anchor_idx, raw.anchor_points, raw.stride_tensor
+            )
         else:
             rows = cres.flame_params.astype(jnp.float32)
-        params = globalize_flame(
-            rows, cres.anchor_idx, raw.anchor_points, raw.stride_tensor
-        )
+            params = globalize_flame(
+                rows, cres.anchor_idx, raw.anchor_points, raw.stride_tensor
+            )
         R, verts = fused_project_vertices(self._flame, params, to_2d=False)
 
         bi = cres.batch_idx

@@ -33,6 +33,22 @@ class NMSResult(NamedTuple):
     anchor_idx: jnp.ndarray  # [K] int32 index into the anchor axis (0 if invalid)
 
 
+class NeighborInfo(NamedTuple):
+    """Per kept detection: its top-n fusion candidates (see ``fuse_flame``).
+
+    The serving path (detector.py) runs the FLAME towers sparsely, so it
+    cannot fuse dense rows inside NMS — instead it asks for the neighbor
+    anchor ids + score weights, runs the towers at the [K, n] union,
+    globalizes each row at its OWN anchor, and takes the weighted mean in
+    image space (weighted-mean of per-anchor globalizations == fusion of
+    globalized dense rows: globalization is a per-anchor affine on the same
+    translation/scale slots).
+    """
+
+    anchor_idx: jnp.ndarray  # [K, n] int32 into the anchor axis (0-padded)
+    weights: jnp.ndarray  # [K, n] f32 fusion weights (0 for empty slots)
+
+
 class CompactDetections(NamedTuple):
     """Batch detections packed into M slots, scores-descending (valid first)."""
 
@@ -103,6 +119,7 @@ def single_image_nms(
     post_nms_max: int = 100,
     fuse_flame: bool = False,
     fusion_iou: float = 0.7,
+    return_neighbors: int = 0,
 ) -> NMSResult:
     """One image: conf filter -> top-k -> greedy NMS -> keep post_nms_max.
 
@@ -119,6 +136,14 @@ def single_image_nms(
     detection matching stays bit-identical to plain NMS; only the FLAME rows
     (hence landmarks/mesh) change.  No reference counterpart
     (``yolo_heads_post_prediction_callback.py:42-99`` keeps the argmax row).
+
+    ``return_neighbors=n``: additionally return :class:`NeighborInfo` — each
+    kept box's top-n fusion candidates by weight (its own row always has
+    weight >= its score, so it is always included for n >= 1) — and the
+    return value becomes ``(NMSResult, NeighborInfo)``.  Used by the sparse
+    serving path, which must run the FLAME towers at the neighbor anchors
+    before it can average (truncation to n is exact whenever a cluster has
+    <= n confidence-passing candidates).
     """
     scores = scores.reshape(-1)
     num_anchors = scores.shape[0]
@@ -147,6 +172,38 @@ def single_image_nms(
     # accumulates in f32, so the single-pass contraction reproduces the
     # gather exactly (asserted against the gather in tests/test_nms.py).
     final_idx = top_idx[sel]  # [post_nms_max] indices into the anchor axis
+    w = None
+    if fuse_flame or return_neighbors:
+        iou_ck = box_iou_xyxy(top_boxes[sel], top_boxes)  # [K_kept, k]
+        iou_ck = jnp.where(out_valid[:, None], iou_ck, -1.0)
+        # Each candidate fuses into exactly ONE kept box — its best-IoU one —
+        # so a candidate suppressed early in a crowd can't bleed a different
+        # head's params into a lower-scoring kept box.
+        best_kept = jnp.argmax(iou_ck, axis=0)  # [k]
+        assign = best_kept[None, :] == jnp.arange(sel.shape[0])[:, None]
+        # ...and only DOWN the score order (candidate j may fuse into kept i
+        # only if score_j <= score_i, i.e. j >= sel[i] on the sorted axis):
+        # a kept box is its cluster's score maximum under greedy NMS, but a
+        # higher-scoring candidate suppressed by some OTHER kept box can
+        # still best-IoU-match this one — it belongs to that other head's
+        # cluster, not this one.  This also guarantees each kept box is its
+        # own top-weight candidate (n=1 neighbors == plain NMS exactly).
+        downrank = jnp.arange(k)[None, :] >= sel[:, None]  # [K_kept, k]
+        w = (
+            top_scores[None, :]
+            * (iou_ck >= fusion_iou)
+            * assign
+            * downrank
+            * top_valid[None, :]
+        ).astype(jnp.float32)  # [K_kept, k]
+    neighbors = None
+    if return_neighbors:
+        n = min(int(return_neighbors), k)
+        wn, jn = jax.lax.top_k(w, n)  # [K_kept, n], weight-descending
+        neighbors = NeighborInfo(
+            anchor_idx=jnp.where(wn > 0, top_idx[jn], 0).astype(jnp.int32),
+            weights=wn,
+        )
     if fuse_flame:
         # Candidate FLAME rows [k, P]: same streaming one-hot contraction as
         # below, just over the whole conf-passing top-k set.
@@ -156,19 +213,6 @@ def single_image_nms(
         cand_params = jnp.dot(
             cand_onehot, flame_params, preferred_element_type=jnp.float32
         )  # [k, P] f32 accumulate
-        iou_ck = box_iou_xyxy(top_boxes[sel], top_boxes)  # [K_kept, k]
-        iou_ck = jnp.where(out_valid[:, None], iou_ck, -1.0)
-        # Each candidate fuses into exactly ONE kept box — its best-IoU one —
-        # so a candidate suppressed early in a crowd can't bleed a different
-        # head's params into a lower-scoring kept box.
-        best_kept = jnp.argmax(iou_ck, axis=0)  # [k]
-        assign = best_kept[None, :] == jnp.arange(sel.shape[0])[:, None]
-        w = (
-            top_scores[None, :]
-            * (iou_ck >= fusion_iou)
-            * assign
-            * top_valid[None, :]
-        ).astype(jnp.float32)  # [K_kept, k]
         fused = jnp.dot(w, cand_params, preferred_element_type=jnp.float32)
         fused = fused / jnp.maximum(w.sum(axis=1, keepdims=True), 1e-12)
         # Every kept box has itself as a candidate (IoU 1 >= fusion_iou), so
@@ -184,13 +228,16 @@ def single_image_nms(
             preferred_element_type=flame_params.dtype,
         )
 
-    return NMSResult(
+    result = NMSResult(
         boxes=jnp.where(out_valid[:, None], top_boxes[sel], 0.0),
         scores=jnp.where(out_valid, top_scores[sel], 0.0),
         flame_params=jnp.where(out_valid[:, None], selected_flame, 0.0),
         valid=out_valid,
         anchor_idx=jnp.where(out_valid, final_idx, 0).astype(jnp.int32),
     )
+    if return_neighbors:
+        return result, neighbors
+    return result
 
 
 def compact_detections(res: NMSResult, max_total: int) -> CompactDetections:
@@ -239,8 +286,13 @@ def batched_nms(
     post_nms_max: int = 100,
     fuse_flame: bool = False,
     fusion_iou: float = 0.7,
+    return_neighbors: int = 0,
 ) -> NMSResult:
-    """Batch NMS (vmapped). All outputs [B, post_nms_max, ...] + valid mask."""
+    """Batch NMS (vmapped). All outputs [B, post_nms_max, ...] + valid mask.
+
+    With ``return_neighbors=n`` returns ``(NMSResult, NeighborInfo)`` with
+    leading batch axes.
+    """
     if scores.ndim == 3:
         scores = scores[..., 0]
     fn = lambda b, s, f: single_image_nms(
@@ -253,5 +305,6 @@ def batched_nms(
         post_nms_max=post_nms_max,
         fuse_flame=fuse_flame,
         fusion_iou=fusion_iou,
+        return_neighbors=return_neighbors,
     )
     return jax.vmap(fn)(boxes_xyxy, scores, flame_params)

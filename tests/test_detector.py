@@ -192,3 +192,85 @@ def test_packed_params_identical_results(detector):
     for ha, hb in zip(a.heads, b.heads):
         assert ha.bbox == hb.bbox
         np.testing.assert_array_equal(ha.vertices_3d, hb.vertices_3d)
+
+
+# ---------------------------------------------------------------------------
+# WBF param fusion through the serving paths (sparse towers / compact wire /
+# dense / batch).  fusion_neighbors=1 must reproduce the plain decode (the
+# top-1 neighbor is the kept row itself); n>1 keeps the detection set
+# identical and only moves FLAME params/vertices.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fusion_image():
+    rng = np.random.RandomState(7)
+    return rng.randint(0, 255, (80, 100, 3), dtype=np.uint8)
+
+
+def _heads_match(a, b, verts_atol, verts_rtol=1e-5):
+    assert len(a.heads) == len(b.heads) and len(a.heads) > 0
+    for ha, hb in zip(a.heads, b.heads):
+        assert ha.bbox == hb.bbox
+        np.testing.assert_allclose(ha.score, hb.score, atol=1e-6)
+        # Untrained nets emit huge vertex magnitudes (~1e8); the batched
+        # dispatch legally reorders f32 accumulation, so pair atol with a
+        # relative tolerance.
+        np.testing.assert_allclose(
+            ha.vertices_3d, hb.vertices_3d, atol=verts_atol, rtol=verts_rtol
+        )
+
+
+def test_param_fusion_n1_identity_sparse(detector, fusion_image):
+    fused = HeadDetector(model="yolo_heads_n", image_size=64,
+                         param_fusion=True, fusion_neighbors=1)
+    a = detector(fusion_image, confidence_threshold=1e-6)
+    b = fused(fusion_image, confidence_threshold=1e-6)
+    _heads_match(a, b, verts_atol=1e-2)
+
+
+def test_param_fusion_keeps_detection_set(detector, fusion_image):
+    fused = HeadDetector(model="yolo_heads_n", image_size=64,
+                         param_fusion=True, fusion_neighbors=4)
+    a = detector(fusion_image, confidence_threshold=1e-6)
+    b = fused(fusion_image, confidence_threshold=1e-6)
+    assert len(a.heads) == len(b.heads) and len(a.heads) > 0
+    for ha, hb in zip(a.heads, b.heads):
+        assert ha.bbox == hb.bbox
+        np.testing.assert_allclose(ha.score, hb.score, atol=1e-6)
+        assert np.isfinite(hb.vertices_3d).all()
+
+
+def test_param_fusion_dense_path(fusion_image):
+    plain = HeadDetector(model="yolo_heads_n", image_size=64, deploy=False)
+    fused = HeadDetector(model="yolo_heads_n", image_size=64, deploy=False,
+                         param_fusion=True, fusion_neighbors=1)
+    a = plain(fusion_image, confidence_threshold=1e-6)
+    b = fused(fusion_image, confidence_threshold=1e-6)
+    _heads_match(a, b, verts_atol=1e-2)
+
+
+def test_param_fusion_compact_wire(detector, fusion_image):
+    fused = HeadDetector(model="yolo_heads_n", image_size=64,
+                         param_fusion=True, fusion_neighbors=1,
+                         compact_wire=16)
+    a = detector(fusion_image, confidence_threshold=1e-6)
+    b = fused(fusion_image, confidence_threshold=1e-6)
+    _heads_match(a, b, verts_atol=1e-2)
+
+
+def test_param_fusion_predict_batch(detector, fusion_image):
+    fused = HeadDetector(model="yolo_heads_n", image_size=64,
+                         param_fusion=True, fusion_neighbors=1)
+    rng = np.random.RandomState(11)
+    other = rng.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+    plain_res = detector.predict_batch([fusion_image, other],
+                                       confidence_threshold=1e-6)
+    fused_res = fused.predict_batch([fusion_image, other],
+                                    confidence_threshold=1e-6)
+    for a, b in zip(plain_res, fused_res):
+        # Batched patch convs tile differently from the b=1 program; the
+        # ~1e-6 relative wobble in fused params is amplified through the
+        # untrained net's exp-scale FLAME decode, so this parity leg needs
+        # a looser relative bound than the single-image one.
+        _heads_match(a, b, verts_atol=1e-2, verts_rtol=2e-3)

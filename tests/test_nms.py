@@ -301,3 +301,34 @@ def test_fusion_batched_and_empty(rng):
     assert np.asarray(res.flame_params).shape == (b, 16, 413)
     assert not bool(np.asarray(res.valid)[1].any())
     assert np.isfinite(np.asarray(res.flame_params)).all()
+
+
+def test_return_neighbors_matches_fusion_weights(rng):
+    # NeighborInfo must list the cluster candidates with their score weights
+    # (same construction as test_fusion_is_score_weighted_mean_of_cluster).
+    boxes = np.array(
+        [[0, 0, 100, 100], [1, 1, 99, 99], [2, 2, 100, 100], [400, 400, 480, 480]],
+        np.float32,
+    )
+    scores = np.array([0.9, 0.8, 0.7, 0.6], np.float32)
+    params = rng.normal(size=(4, 5)).astype(np.float32)
+    res, nb = _nms(boxes, scores, params, iou_threshold=0.5, fusion_iou=0.7,
+                   return_neighbors=3)
+    valid = np.asarray(res.valid)
+    assert int(valid.sum()) == 2
+    nb_idx = np.asarray(nb.anchor_idx)[valid]
+    nb_w = np.asarray(nb.weights)[valid]
+    # kept det 0 = the cluster: neighbors {0,1,2} weight-desc
+    np.testing.assert_array_equal(nb_idx[0], [0, 1, 2])
+    np.testing.assert_allclose(nb_w[0], scores[:3], atol=1e-6)
+    # kept det 1 = isolated: itself + two empty slots (weight 0)
+    assert nb_idx[1][0] == 3
+    np.testing.assert_allclose(nb_w[1], [scores[3], 0.0, 0.0], atol=1e-6)
+    # weighted mean over NeighborInfo reproduces the fused rows exactly
+    fused_res = _nms(boxes, scores, params, iou_threshold=0.5,
+                     fusion_iou=0.7, fuse_flame=True)
+    gathered = params[nb_idx.reshape(-1)].reshape(2, 3, -1)
+    manual = (nb_w[..., None] * gathered).sum(1) / nb_w.sum(1, keepdims=True)
+    np.testing.assert_allclose(
+        manual, np.asarray(fused_res.flame_params)[valid], rtol=1e-5, atol=1e-5
+    )
