@@ -62,14 +62,21 @@ def evaluate(variables, model, flame, dataset, batch_size=16, max_boxes=30,
         # jit(lambda v, x: model.apply(v, x, train=False)[0]) and pass it in;
         # params ride as an argument so every arm shares the executable.
         forward = jax.jit(lambda v, x: model.apply(v, x, train=False)[0])
+    # Upload the param tree ONCE.  Passing host numpy trees straight into
+    # the jitted forward re-ships ~140 MB (f32 M) over the axon relay on
+    # EVERY batch — 64 test batches paced the round-5 scorer at the relay
+    # (and its per-upload RSS retention), not the chip, until timeout.
+    variables = jax.device_put(variables)
     loader = _Prefetcher(dataset, batch_size, max_boxes, num_workers=4, seed=0)
     n_images = 0
-    for images, targets in loader:
+    for i, (images, targets) in enumerate(loader):
         decoded = forward(variables, jnp.asarray(images, jnp.float32) / 255.0)
         gt_samples = _targets_to_samples(images, targets)
         n_images += len(gt_samples)
         for m in metrics.values():
             m.update(decoded, gt_samples)
+        if i % 8 == 0:
+            print(f"[eval] batch {i} ({n_images} imgs)", flush=True)
     out = {}
     for name, m in metrics.items():
         val = m.compute()
