@@ -41,7 +41,11 @@ from head_detector_tpu.flame import FlameModel, fused_project_vertices
 from head_detector_tpu.head_info import Bbox, FlameParams, HeadMetadata, RPY
 from head_detector_tpu.models import build_model, init_model
 from head_detector_tpu.models.heads import globalize_flame
-from head_detector_tpu.ops.letterbox import letterbox
+from head_detector_tpu.ops.letterbox import (
+    letterbox,
+    letterbox_batch,
+    letterbox_spec,
+)
 from head_detector_tpu.ops.nms import batched_nms
 from head_detector_tpu.ops.rotation import rotation_mats_to_rpy
 
@@ -499,21 +503,32 @@ class HeadDetector:
         (batch size, budget); results per image match ``__call__`` up to
         batching roundoff."""
         originals = [self._convert_image(im) for im in images]
-        imgs, pads, scales = [], [], []
-        for im in originals:
-            img, (pad_l, pad_t), scale = letterbox(
-                jnp.asarray(im), self._image_size
-            )
-            imgs.append(img)
-            pads.append((float(pad_l), float(pad_t)))
-            scales.append(float(scale))
         b = len(originals)
+        # Group by input shape: ONE uint8 upload + ONE batched-lanczos
+        # letterbox dispatch per distinct shape, instead of a full relay
+        # round trip per image (which dominated serving latency: 183 ms/img
+        # at b16 measured on axon, ~95% dispatch/upload overhead).  The
+        # detector sees the images in group order; ``order[j]`` maps the
+        # permuted row j back to the caller's index.
+        by_shape: Dict[tuple, List[int]] = {}
+        for i, im in enumerate(originals):
+            by_shape.setdefault(im.shape, []).append(i)
+        order, chunks, pads, scales = [], [], [], []
+        for shape, idxs in by_shape.items():
+            stack = np.stack([np.ascontiguousarray(originals[i]) for i in idxs])
+            chunks.append(letterbox_batch(stack, self._image_size))
+            spec = letterbox_spec(shape[0], shape[1], self._image_size)
+            for i in idxs:
+                order.append(i)
+                pads.append((float(spec.pad_left), float(spec.pad_top)))
+                scales.append(float(spec.scale))
+        imgs = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
         m = min(
             max_detections or 16 * b,
             self._post_nms_max * b,
         )
         meta, verts = self._detect_batch(
-            jnp.concatenate(imgs, axis=0),
+            imgs,
             jnp.float32(confidence_threshold),
             jnp.asarray(pads, jnp.float32),
             jnp.asarray(scales, jnp.float32),
@@ -521,22 +536,21 @@ class HeadDetector:
         )
         meta = np.asarray(meta)
         verts = np.asarray(verts).astype(np.float32)
-        results = []
-        for i, orig in enumerate(originals):
-            sel = (meta[:, 0].astype(np.int32) == i) & (meta[:, 422] > 0.5)
-            results.append(
-                PredictionResult(
-                    original_image=orig,
-                    heads=self._build_heads(
-                        meta[sel, 1:5],
-                        meta[sel, 5],
-                        meta[sel, 6:419],
-                        verts[sel],
-                        meta[sel, 419:422],
-                        np.ones(int(sel.sum()), bool),
-                        scales[i],
-                    ),
-                )
+        results = [None] * b
+        for j, i in enumerate(order):  # j = permuted row fed to the model
+            orig = originals[i]
+            sel = (meta[:, 0].astype(np.int32) == j) & (meta[:, 422] > 0.5)
+            results[i] = PredictionResult(
+                original_image=orig,
+                heads=self._build_heads(
+                    meta[sel, 1:5],
+                    meta[sel, 5],
+                    meta[sel, 6:419],
+                    verts[sel],
+                    meta[sel, 419:422],
+                    np.ones(int(sel.sum()), bool),
+                    scales[j],
+                ),
             )
         return results
 
