@@ -492,10 +492,6 @@ def _bench_latency() -> float:
 
     det = _Noop() if lat_mode == "noop" else HeadDetector(
         model=MODEL, image_size=SIZE, pre_nms_max=pre, post_nms_max=post,
-        # HDT_BENCH_PACKED=1: single closed-over parameter buffer
-        # (export.pack_variables) — probes whether the relay's per-dispatch
-        # sync overhead scales with argument-buffer count
-        packed_params=os.environ.get("HDT_BENCH_PACKED") == "1",
         # HDT_BENCH_WIREM=16: compact download wire — top-M slots only, TWO
         # transfers (f32 meta + HDT_BENCH_WDT verts) instead of six dense
         # [post_nms_max, ...] tensors; the serving configuration of record
@@ -615,8 +611,6 @@ def main():
                 f", nms {os.environ.get('HDT_BENCH_PRE', '1000')}"
                 f"/{os.environ.get('HDT_BENCH_POST', '100')}"
             )
-        if os.environ.get("HDT_BENCH_PACKED") == "1":
-            flavor += ", packed params"
         if os.environ.get("HDT_BENCH_WIREM"):
             flavor += (
                 f", compact wire M={os.environ['HDT_BENCH_WIREM']}"

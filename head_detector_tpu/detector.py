@@ -127,7 +127,6 @@ class HeadDetector:
         post_nms_max: int = 100,
         iou_threshold: float = 0.5,
         deploy: bool = True,
-        packed_params: Optional[bool] = None,
         compact_wire: Optional[int] = None,
         wire_verts_dtype: str = "f32",
         param_fusion: bool = False,
@@ -217,26 +216,13 @@ class HeadDetector:
         if wire_verts_dtype not in ("f32", "f16"):
             raise ValueError(f"wire_verts_dtype must be f32|f16, got {wire_verts_dtype!r}")
         self._wire_vdtype = jnp.float16 if wire_verts_dtype == "f16" else jnp.float32
-        self._packed = None
-        if packed_params is None:
-            packed_params = os.environ.get("HDT_PACKED") == "1"
-        if packed_params:
-            # single-dispatch-buffer form (export.pack_variables): the jitted
-            # program closes over ONE flat f32 buffer instead of ~800
-            # parameter arrays — on hosts whose per-dispatch cost scales
-            # with argument-buffer count (the axon relay) this collapses the
-            # batch-1 sync latency toward the noop floor; identical math.
-            from head_detector_tpu.export import pack_variables
-
-            flat, unpack = pack_variables(variables)
-            self._packed = (flat, unpack)
-            self._detect = jax.jit(
-                lambda img, conf, pad, scale: self._detect_fn(
-                    img, conf, pad, scale, variables=unpack(flat)
-                )
-            )
-        else:
-            self._detect = jax.jit(self._detect_fn)
+        # A packed-params dispatch form (one flat closed-over buffer
+        # instead of ~800 parameter arrays) was built on the theory that
+        # relay dispatch cost scales with argument-buffer count; measured
+        # on the chip it LOST (42.1 vs 27.6 ms batch-1 sync p50 — the ~800
+        # per-call unpack slice/reshape kernels cost more than they saved)
+        # and was removed.  BENCHMARKS.md round-5 measurement sweep.
+        self._detect = jax.jit(self._detect_fn)
         self._detect_batch = jax.jit(
             self._detect_batch_fn, static_argnames=("m",)
         )
@@ -294,9 +280,8 @@ class HeadDetector:
         confidence_threshold: jnp.ndarray,  # scalar
         pad: jnp.ndarray,  # [2] (left, top)
         scale: jnp.ndarray,  # scalar
-        variables: Optional[Dict[str, Any]] = None,  # packed-params path
     ):
-        variables = self._variables if variables is None else variables
+        variables = self._variables
         if self._sparse:
             decoded, raw, feats = self._model.apply(
                 variables, image, train=False, return_feats=True
@@ -418,9 +403,6 @@ class HeadDetector:
         host-side, ``head_detector/detector.py:97-102``); this is the
         TPU-serving-shaped equivalent of N independent calls."""
         variables = self._variables
-        if self._packed is not None:
-            flat, unpack = self._packed
-            variables = unpack(flat)
         if self._sparse:
             decoded, raw, feats = self._model.apply(
                 variables, images, train=False, return_feats=True

@@ -177,46 +177,6 @@ def build_deploy(
     return model, fused
 
 
-def pack_variables(variables: Dict[str, Any]):
-    """Flatten a variables pytree into ONE flat f32 device buffer + unpacker.
-
-    Motivation (batch-1 latency, BENCHMARKS.md round-3 decomposition): a
-    jitted program's closed-over arrays ride every dispatch as hidden
-    arguments; on hosts where per-dispatch overhead scales with the number
-    of argument buffers (the axon dev relay measures ~30 ms sync p50 for an
-    executable holding ~800 parameter arrays vs 0.04 ms for a noop), an
-    executable that closes over a single packed buffer dispatches near the
-    noop floor.  On a PCIe-attached host this is neutral.
-
-    ``unpack(flat)`` rebuilds the exact pytree with static ``lax.slice`` +
-    reshape — free at trace time, fused away by XLA.
-
-    Returns ``(flat [N] f32, unpack)``.
-    """
-    leaves, treedef = jax.tree_util.tree_flatten(variables)
-    shapes = [tuple(np.asarray(l).shape) for l in leaves]
-    for l in leaves:
-        if np.asarray(l).dtype != np.float32:
-            raise ValueError(
-                f"pack_variables expects all-f32 leaves, got {np.asarray(l).dtype}"
-            )
-    flat = jnp.concatenate(
-        [jnp.ravel(jnp.asarray(l, jnp.float32)) for l in leaves]
-    ) if leaves else jnp.zeros((0,), jnp.float32)
-    sizes = [int(np.prod(s)) for s in shapes]
-    offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(int)
-
-    def unpack(flat_buf: jnp.ndarray):
-        out = [
-            jax.lax.slice(flat_buf, (int(offsets[i]),), (int(offsets[i + 1]),))
-            .reshape(shapes[i])
-            for i in range(len(shapes))
-        ]
-        return jax.tree_util.tree_unflatten(treedef, out)
-
-    return flat, unpack
-
-
 def export_serialized(fn, example_args, path: str) -> None:
     """Serialize a jitted function to portable StableHLO bytes
     (the TPU-native analogue of the reference's .trcd TorchScript export)."""

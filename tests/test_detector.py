@@ -179,21 +179,6 @@ def test_predict_batch_budget_caps_detections(detector):
     assert sum(len(r.heads) for r in batch) <= 3
 
 
-def test_packed_params_identical_results(detector):
-    """The packed-variables program (ONE closed-over buffer instead of ~800;
-    export.pack_variables) must be numerically identical to the default."""
-    packed = HeadDetector(model="yolo_heads_n", image_size=64,
-                          packed_params=True)
-    rng = np.random.RandomState(5)
-    image = rng.randint(0, 255, (70, 90, 3), dtype=np.uint8)
-    a = detector(image, confidence_threshold=1e-6)
-    b = packed(image, confidence_threshold=1e-6)
-    assert len(a.heads) == len(b.heads) > 0
-    for ha, hb in zip(a.heads, b.heads):
-        assert ha.bbox == hb.bbox
-        np.testing.assert_array_equal(ha.vertices_3d, hb.vertices_3d)
-
-
 # ---------------------------------------------------------------------------
 # WBF param fusion through the serving paths (sparse towers / compact wire /
 # dense / batch).  fusion_neighbors=1 must reproduce the plain decode (the
