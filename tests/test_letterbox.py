@@ -56,3 +56,17 @@ def test_letterbox_batch_shapes():
     imgs = rng.randint(0, 255, (3, 120, 80, 3), np.uint8)
     out = letterbox_batch(jnp.asarray(imgs), 64)
     assert np.asarray(out).shape == (3, 64, 64, 3)
+
+
+def test_letterbox_batch_matches_single_lanczos():
+    """Batched letterbox (predict_batch's one-upload path) must reproduce
+    the single-image lanczos4 program row-for-row: same resampling
+    matrices, batched by the einsum."""
+    rng = np.random.RandomState(7)
+    imgs = rng.randint(0, 255, (4, 90, 130, 3), np.uint8)
+    batched = np.asarray(letterbox_batch(jnp.asarray(imgs), 64))
+    for i in range(4):
+        single, _, _ = letterbox(jnp.asarray(imgs[i]), 64)
+        np.testing.assert_allclose(
+            batched[i], np.asarray(single)[0], atol=1e-5
+        )
